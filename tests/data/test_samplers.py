@@ -1,0 +1,84 @@
+"""Sampler tests — multi-host behavior without a cluster, via explicit
+(rank, world) args (the reference's technique, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from vjepa2_tpu.data.samplers import (
+    DistributedSampler,
+    DistributedWeightedSampler,
+    MemoryEfficientDistributedWeightedSampler,
+    MemoryEfficientDistributedWeightedSamplerLessRepeat,
+)
+
+
+def test_distributed_sampler_partition():
+    world = 4
+    seen = []
+    for rank in range(world):
+        s = DistributedSampler(103, world, rank, seed=7)
+        idx = list(s)
+        assert len(idx) == s.num_samples
+        seen += idx
+    # covers every index (with padding duplicates allowed)
+    assert set(seen) == set(range(103))
+
+
+def test_distributed_sampler_epoch_changes_order():
+    s = DistributedSampler(50, 2, 0, seed=3)
+    a = list(s)
+    s.set_epoch(1)
+    b = list(s)
+    assert a != b
+    assert sorted(set(a)) != [] and len(a) == len(b)
+
+
+def test_weighted_sampler_respects_weights():
+    w = np.concatenate([np.full(100, 0.9 / 100), np.full(100, 0.1 / 100)])
+    counts = np.zeros(200, int)
+    for rank in range(2):
+        s = DistributedWeightedSampler(w, 2, rank, seed=0)
+        for i in list(s):
+            counts[i] += 1
+    first = counts[:100].sum() / counts.sum()
+    assert 0.8 < first < 0.97
+
+
+def test_memory_efficient_rank_disjoint():
+    """Rank stride guarantees no cross-rank duplicate draws."""
+    sizes, weights = [40, 60], [0.5, 0.5]
+    world = 4
+    draws = {r: set() for r in range(world)}
+    for r in range(world):
+        s = MemoryEfficientDistributedWeightedSampler(sizes, weights, world, r, seed=0)
+        for _ in range(50):
+            draws[r].add(next(s))
+    for a in range(world):
+        for b in range(a + 1, world):
+            assert not (draws[a] & draws[b]), f"ranks {a},{b} overlap"
+
+
+def test_memory_efficient_no_shuffle_round_robin():
+    s = MemoryEfficientDistributedWeightedSampler([10, 10], [1, 1], 2, 0, shuffle=False)
+    first = [next(s) for _ in range(4)]
+    # alternates datasets (offsets 0 and 10), rank-0 strided
+    assert first[0] < 10 and first[1] >= 10
+
+
+def test_less_repeat_cycles_permutations():
+    s = MemoryEfficientDistributedWeightedSamplerLessRepeat([16, 16], [1.0, 1.0], 2, 0, seed=0)
+    draws = [next(s) for _ in range(64)]
+    # every drawn index belongs to rank 0's stride subset
+    for d in draws:
+        local = d if d < 16 else d - 16
+        assert local % 2 == 0  # rank 0 of world 2
+    # within ~one pass per dataset, repeats are bounded
+    from collections import Counter
+
+    c = Counter(draws)
+    assert max(c.values()) <= 6
+
+
+def test_integer_weights_required_when_not_shuffling():
+    with pytest.raises(ValueError):
+        MemoryEfficientDistributedWeightedSampler([10], [0.5], 1, 0, shuffle=False)

@@ -1,0 +1,18 @@
+"""vjepa2_tpu — a TPU-native (JAX/XLA/Pallas/pjit) V-JEPA 2 framework.
+
+A ground-up re-design of the capabilities of the reference V-JEPA 2 repo
+(weipeilun/vjepa2) for TPU hardware:
+
+* models: video ViT encoder (sincos / 3D-RoPE), JEPA predictor,
+  action-conditioned predictor, attentive probes (flax.linen).
+* ops: fused TPU paths — RoPE with explicit per-token position ids,
+  XLA/Pallas attention, gather-based token masking.
+* masks: host-side multi-block 3D mask sampling with static shapes.
+* train: single jitted train step (dual encoder fwd + predictor + L1 +
+  AdamW + EMA) sharded over a ('data','fsdp','model') device mesh.
+* evals: frozen-feature attentive probes (probe grids vmapped on device).
+* hub: public model factories + torch-checkpoint converter.
+* planning: jit-compiled CEM/MPC over the latent world model.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,92 @@
+"""Device mesh + sharding rules (replaces the reference's NCCL/DDP layer).
+
+The reference's only parallelism is DDP over NCCL
+(`src/utils/distributed.py`, SURVEY.md §2.6). TPU-native equivalent: one
+`jax.sharding.Mesh` with axes
+
+* ``data``  — pure data parallel (ICI, and DCN across slices),
+* ``fsdp``  — data parallel that additionally shards params/opt-state
+              (ZeRO-3 style; gives the memory headroom DDP lacked),
+* ``model`` — tensor parallel for attention heads / MLP hidden dim.
+
+Batches shard over (data, fsdp); parameters shard over fsdp (largest
+divisible axis) and optionally model. XLA inserts the all-gathers /
+reduce-scatters; there are no explicit collectives in the train step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1  # -1: all remaining devices
+    fsdp: int = 1
+    model: int = 1
+
+    def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int]:
+        n = n_devices if n_devices is not None else jax.device_count()
+        d, f, m = self.data, self.fsdp, self.model
+        if d == -1:
+            assert n % (f * m) == 0, f"{n} devices not divisible by fsdp*model={f * m}"
+            d = n // (f * m)
+        assert d * f * m == n, f"mesh {d}x{f}x{m} != {n} devices"
+        return d, f, m
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    d, f, m = cfg.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(d, f, m)
+    return Mesh(dev_array, axis_names=("data", "fsdp", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over both data-parallel axes."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def batch_spec() -> P:
+    return P(("data", "fsdp"))
+
+
+def param_spec(path: tuple, value) -> P:
+    """FSDP rule: shard the largest divisible dim of >=2D params over 'fsdp'.
+
+    Scalars / vectors (biases, LayerNorm) stay replicated. The 'model' axis is
+    left for explicit tensor-parallel rules (attention qkv/proj, mlp hidden)
+    applied by name; for round-1 DP/FSDP it is size 1.
+    """
+    shape = value.shape
+    if len(shape) < 2:
+        return P()
+    # shard the largest dim over fsdp
+    axis = int(np.argmax(shape))
+    spec = [None] * len(shape)
+    spec[axis] = "fsdp"
+    return P(*spec)
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply `param_spec` across a pytree and device_put accordingly."""
+    def place(path, leaf):
+        s = NamedSharding(mesh, param_spec(path, leaf))
+        return jax.device_put(leaf, s)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def param_shardings(params, mesh: Mesh):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,68 @@
+"""Data dispatcher (reference `src/datasets/data_manager.py:init_data`)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from vjepa2_tpu.data.loader import DataLoader
+from vjepa2_tpu.data.samplers import (
+    DistributedSampler,
+    DistributedWeightedSampler,
+    MemoryEfficientDistributedWeightedSampler,
+)
+from vjepa2_tpu.data.transforms import VideoTransform
+from vjepa2_tpu.data.video_dataset import VideoDataset
+
+
+def init_video_data(
+    data_paths: Sequence[str],
+    batch_size: int,
+    transform=None,
+    shared_transform=None,
+    datasets_weights: Optional[Sequence[float]] = None,
+    dataset_fpcs: Optional[Sequence[int]] = None,
+    frames_per_clip: int = 16,
+    fps: Optional[int] = None,
+    frame_step: Optional[int] = None,
+    duration: Optional[float] = None,
+    num_clips: int = 1,
+    num_workers: int = 4,
+    world_size: int = 1,
+    rank: int = 0,
+    drop_last: bool = True,
+    ordered: bool = False,
+    ipe: Optional[int] = None,
+    seed: int = 0,
+):
+    if fps is None and frame_step is None and duration is None:
+        frame_step = 4
+    dataset = VideoDataset(
+        data_paths=data_paths,
+        datasets_weights=datasets_weights,
+        frames_per_clip=frames_per_clip,
+        dataset_fpcs=dataset_fpcs,
+        fps=fps,
+        frame_step=frame_step,
+        duration=duration,
+        num_clips=num_clips,
+        transform=transform,
+        shared_transform=shared_transform,
+        seed=seed,
+    )
+    if datasets_weights is not None:
+        sampler = MemoryEfficientDistributedWeightedSampler(
+            dataset.num_samples_per_dataset, list(datasets_weights), world_size, rank, seed=seed
+        )
+    else:
+        sampler = DistributedSampler(len(dataset), world_size, rank, seed=seed)
+    loader = DataLoader(
+        dataset,
+        sampler,
+        batch_size=batch_size,
+        num_workers=num_workers,
+        drop_last=drop_last,
+        ordered=ordered,
+        seed=seed,
+        epoch_len=ipe,
+    )
+    return dataset, loader, sampler

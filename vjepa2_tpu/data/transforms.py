@@ -1,0 +1,209 @@
+"""Host-side video transforms (numpy + cv2), reference parity.
+
+Re-implements the pretrain path of the reference transform library
+(`app/vjepa/transforms.py`, `src/datasets/utils/video/transforms.py`):
+random-resized-crop (with optional motion shift interpolating the crop box
+across time, `transforms.py:545-587`), horizontal flip, normalize. Output is
+channels-last [T, H, W, C] float32 — the TPU-native layout (no CHW permute).
+
+Eval transforms: resize-short-side + center/uniform crop
+(`evals/video_classification_frozen/utils.py:139-175`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+
+    cv2.setNumThreads(0)  # workers handle their own parallelism
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def _resize_frame(frame: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Bilinear resize of an [H, W, C] uint8/float frame to (h, w)."""
+    h, w = size
+    if frame.shape[0] == h and frame.shape[1] == w:
+        return frame
+    if _HAS_CV2:
+        return cv2.resize(frame, (w, h), interpolation=cv2.INTER_LINEAR)
+    # numpy fallback: nearest (tests only)
+    ys = (np.arange(h) * frame.shape[0] / h).astype(int)
+    xs = (np.arange(w) * frame.shape[1] / w).astype(int)
+    return frame[ys][:, xs]
+
+
+def resize_clip(clip: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    return np.stack([_resize_frame(f, size) for f in clip])
+
+
+def _sample_crop_box(H, W, scale, ratio, rng):
+    """Sample (top, left, h, w) as torchvision RandomResizedCrop does."""
+    area = H * W
+    for _ in range(10):
+        target_area = rng.uniform(*scale) * area
+        log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+        ar = math.exp(rng.uniform(*log_ratio))
+        w = int(round(math.sqrt(target_area * ar)))
+        h = int(round(math.sqrt(target_area / ar)))
+        if 0 < w <= W and 0 < h <= H:
+            top = rng.integers(0, H - h + 1)
+            left = rng.integers(0, W - w + 1)
+            return int(top), int(left), h, w
+    # fallback: center crop at clamped aspect
+    in_ratio = W / H
+    if in_ratio < ratio[0]:
+        w, h = W, int(round(W / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h, w = H, int(round(H * ratio[1]))
+    else:
+        w, h = W, H
+    return (H - h) // 2, (W - w) // 2, h, w
+
+
+@dataclass
+class VideoTransform:
+    """Pretrain-time augmentation (reference `app/vjepa/transforms.py:37-116`)."""
+
+    crop_size: int = 224
+    random_resize_scale: tuple[float, float] = (0.3, 1.0)
+    random_resize_aspect_ratio: tuple[float, float] = (0.75, 1.35)
+    horizontal_flip: bool = False
+    motion_shift: bool = False
+    normalize: bool = True
+    mean: np.ndarray = None
+    std: np.ndarray = None
+
+    def __post_init__(self):
+        self.mean = IMAGENET_MEAN if self.mean is None else np.asarray(self.mean, np.float32)
+        self.std = IMAGENET_STD if self.std is None else np.asarray(self.std, np.float32)
+
+    def __call__(self, clip: np.ndarray, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """clip: [T, H, W, C] uint8 -> [T, S, S, C] float32 normalized."""
+        rng = rng or np.random.default_rng()
+        T, H, W, C = clip.shape
+        top, left, h, w = _sample_crop_box(H, W, self.random_resize_scale, self.random_resize_aspect_ratio, rng)
+
+        if self.motion_shift:
+            # Independent end-box; crop box interpolated across time
+            # (reference `random_resized_crop_with_shift`, transforms.py:545).
+            top2, left2, h2, w2 = _sample_crop_box(
+                H, W, self.random_resize_scale, self.random_resize_aspect_ratio, rng
+            )
+            tops = np.linspace(top, top2, T).astype(int)
+            lefts = np.linspace(left, left2, T).astype(int)
+            hs = np.linspace(h, h2, T).astype(int)
+            ws = np.linspace(w, w2, T).astype(int)
+            frames = [
+                _resize_frame(clip[t, tops[t] : tops[t] + hs[t], lefts[t] : lefts[t] + ws[t]],
+                              (self.crop_size, self.crop_size))
+                for t in range(T)
+            ]
+            out = np.stack(frames)
+        else:
+            cropped = clip[:, top : top + h, left : left + w]
+            out = resize_clip(cropped, (self.crop_size, self.crop_size))
+
+        if self.horizontal_flip and rng.random() < 0.5:
+            out = out[:, :, ::-1]
+
+        out = out.astype(np.float32) / 255.0
+        if self.normalize:
+            out = (out - self.mean) / self.std
+        return np.ascontiguousarray(out)
+
+
+@dataclass
+class EvalVideoTransform:
+    """Eval-time: resize short side then take ``num_views_per_clip`` spatial
+    views slid along the long side (reference `EvalVideoTransform`)."""
+
+    crop_size: int = 224
+    num_views_per_clip: int = 1
+    normalize: bool = True
+    mean: np.ndarray = None
+    std: np.ndarray = None
+
+    def __post_init__(self):
+        self.mean = IMAGENET_MEAN if self.mean is None else np.asarray(self.mean, np.float32)
+        self.std = IMAGENET_STD if self.std is None else np.asarray(self.std, np.float32)
+
+    def __call__(self, clip: np.ndarray) -> list[np.ndarray]:
+        T, H, W, C = clip.shape
+        S = self.crop_size
+        if H < W:
+            nh, nw = S, max(S, int(round(W * S / H)))
+        else:
+            nh, nw = max(S, int(round(H * S / W))), S
+        clip = resize_clip(clip, (nh, nw))
+
+        views = []
+        n = self.num_views_per_clip
+        if n == 1:
+            tops = [(nh - S) // 2]
+            lefts = [(nw - S) // 2]
+        elif nw > nh:
+            lefts = np.linspace(0, nw - S, n).astype(int)
+            tops = [0] * n
+        else:
+            tops = np.linspace(0, nh - S, n).astype(int)
+            lefts = [0] * n
+        for t, l in zip(tops, lefts):
+            v = clip[:, t : t + S, l : l + S].astype(np.float32) / 255.0
+            if self.normalize:
+                v = (v - self.mean) / self.std
+            views.append(np.ascontiguousarray(v))
+        return views
+
+
+@dataclass
+class ImageTransform:
+    """IN1K-style eval transform: resize short side to crop*256/224, center crop."""
+
+    crop_size: int = 224
+    train: bool = False
+    random_resize_scale: tuple[float, float] = (0.08, 1.0)
+    random_resize_aspect_ratio: tuple[float, float] = (3 / 4, 4 / 3)
+    horizontal_flip: bool = True
+    normalize: bool = True
+    mean: np.ndarray = None
+    std: np.ndarray = None
+
+    def __post_init__(self):
+        self.mean = IMAGENET_MEAN if self.mean is None else np.asarray(self.mean, np.float32)
+        self.std = IMAGENET_STD if self.std is None else np.asarray(self.std, np.float32)
+
+    def __call__(self, img: np.ndarray, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        H, W, C = img.shape
+        S = self.crop_size
+        if self.train:
+            top, left, h, w = _sample_crop_box(
+                H, W, self.random_resize_scale, self.random_resize_aspect_ratio, rng
+            )
+            out = _resize_frame(img[top : top + h, left : left + w], (S, S))
+            if self.horizontal_flip and rng.random() < 0.5:
+                out = out[:, ::-1]
+        else:
+            short = int(S * 256 / 224)
+            if H < W:
+                nh, nw = short, int(round(W * short / H))
+            else:
+                nh, nw = int(round(H * short / W)), short
+            r = _resize_frame(img, (nh, nw))
+            top, left = (nh - S) // 2, (nw - S) // 2
+            out = r[top : top + S, left : left + S]
+        out = out.astype(np.float32) / 255.0
+        if self.normalize:
+            out = (out - self.mean) / self.std
+        return np.ascontiguousarray(out)

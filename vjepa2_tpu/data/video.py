@@ -1,0 +1,123 @@
+"""Video decoding backends (host-side, feeds the TPU input pipeline).
+
+The reference leans on decord's C++ decoder (`src/datasets/video_dataset.py:16`).
+Here decoding is pluggable: OpenCV's C++ VideoCapture (primary — ffmpeg under
+the hood), imageio-ffmpeg fallback, and a synthetic generator for tests and
+benchmarks. All return uint8 [T, H, W, 3] RGB for a list of frame indices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+
+    cv2.setNumThreads(0)
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+try:
+    import imageio.v3 as iio
+
+    _HAS_IIO = True
+except Exception:  # pragma: no cover
+    _HAS_IIO = False
+
+
+class VideoReadError(RuntimeError):
+    pass
+
+
+class VideoReader:
+    """Random-access frame reader. ``get_batch(indices)`` mirrors decord."""
+
+    def __init__(self, path: str, backend: Optional[str] = None):
+        if not os.path.exists(path):
+            raise VideoReadError(f"video path not found: {path}")
+        self.path = path
+        self.backend = backend or ("cv2" if _HAS_CV2 else "imageio" if _HAS_IIO else None)
+        if self.backend is None:
+            raise VideoReadError("no video decode backend available (cv2/imageio)")
+        self._len = None
+        self._fps = None
+        if self.backend == "cv2":
+            cap = cv2.VideoCapture(path)
+            if not cap.isOpened():
+                raise VideoReadError(f"cv2 failed to open {path}")
+            self._len = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self._fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            cap.release()
+            if self._len <= 0:
+                raise VideoReadError(f"cv2 reports no frames for {path}")
+        else:
+            meta = iio.immeta(path, plugin="pyav") if _HAS_IIO else {}
+            self._fps = float(meta.get("fps", 30.0))
+            self._len = int(meta.get("nframes") or 0)
+            if self._len <= 0:
+                # fall back to counting (slow, but only metadata-less files)
+                self._len = sum(1 for _ in iio.imiter(path))
+
+    def __len__(self) -> int:
+        return self._len
+
+    @property
+    def avg_fps(self) -> float:
+        return self._fps
+
+    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+        indices = np.asarray(indices, dtype=np.int64)
+        if self.backend == "cv2":
+            return self._get_batch_cv2(indices)
+        return self._get_batch_iio(indices)
+
+    def _get_batch_cv2(self, indices: np.ndarray) -> np.ndarray:
+        cap = cv2.VideoCapture(self.path)
+        try:
+            order = np.argsort(indices)
+            sorted_idx = indices[order]
+            frames: dict[int, np.ndarray] = {}
+            pos = -1
+            for want in np.unique(sorted_idx):
+                want = int(want)
+                if want != pos + 1:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, want)
+                ok, frame = cap.read()
+                if not ok:
+                    # clamp to last decodable frame
+                    if frames:
+                        frame = frames[max(frames)]
+                    else:
+                        raise VideoReadError(f"decode failure at frame {want} of {self.path}")
+                else:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                frames[want] = frame
+                pos = want
+            return np.stack([frames[int(i)] for i in indices])
+        finally:
+            cap.release()
+
+    def _get_batch_iio(self, indices: np.ndarray) -> np.ndarray:
+        want = set(int(i) for i in indices)
+        frames = {}
+        for i, frame in enumerate(iio.imiter(self.path)):
+            if i in want:
+                frames[i] = np.asarray(frame)[..., :3]
+            if len(frames) == len(want):
+                break
+        if not frames:
+            raise VideoReadError(f"no frames decoded from {self.path}")
+        last = frames[max(frames)]
+        return np.stack([frames.get(int(i), last) for i in indices])
+
+
+def synthetic_clip(num_frames: int, height: int, width: int, seed: int = 0) -> np.ndarray:
+    """Deterministic moving-gradient clip for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, size=(height, width, 3), dtype=np.uint8)
+    frames = [np.roll(base, shift=3 * t, axis=1) for t in range(num_frames)]
+    return np.stack(frames)

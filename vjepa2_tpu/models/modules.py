@@ -1,0 +1,433 @@
+"""Transformer building blocks (flax.linen), TPU-first.
+
+Functional re-design of reference `src/models/utils/modules.py`:
+
+* channels-last everywhere; attention runs in BNHD layout on the MXU via a
+  single fused SDPA (`vjepa2_tpu.ops.attention.sdpa`).
+* RoPE takes explicit per-token position ids so masked (sparse) token sets
+  work — see `vjepa2_tpu.ops.rope`.
+* The AC (action-conditioned) attention treats conditioning tokens uniformly
+  by giving them factorized position ids (t, 0, 0): rotating by angle zero is
+  the identity, which reproduces the reference's "temporal-RoPE only for
+  action tokens" (`modules.py:190-195`) without per-token Python loops.
+* Block-causal masking is generated from frame ids on the fly
+  (frame_q >= frame_kv), equivalent to reference
+  `build_action_block_causal_attention_mask` (`modules.py:12-23`).
+* Init parity: trunc-normal(0.02) kernels, zero biases, and the reference's
+  per-layer residual-branch rescale 1/sqrt(2*layer_id) folded into the
+  initializers of ``attn.proj`` and ``mlp.fc2`` (`modules.py` users call
+  ``_rescale_blocks``; note the reference rescales SwiGLU's *fc2* — the value
+  branch — not the output fc3; we replicate that quirk).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vjepa2_tpu.ops.attention import sdpa
+from vjepa2_tpu.ops.rope import rope_3d_dims, rope_angles, rotate_pairs, separate_positions
+
+Dtype = jnp.dtype
+
+
+def trunc_normal(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+def scaled_trunc_normal(std: float, scale: float):
+    """trunc_normal(std) then multiply by ``scale`` (residual rescale at init)."""
+    base = trunc_normal(std)
+
+    def init(key, shape, dtype):
+        return base(key, shape, dtype) * scale
+
+    return init
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32 regardless of compute dtype (eps 1e-6)."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(self.dtype)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+    out_init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(
+            self.hidden_dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal(self.init_std),
+            bias_init=nn.initializers.zeros,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(
+            out_dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=scaled_trunc_normal(self.init_std, self.out_init_scale),
+            bias_init=nn.initializers.zeros,
+            name="fc2",
+        )(x)
+        return x
+
+
+class SwiGLUFFN(nn.Module):
+    """SwiGLU FFN with the reference's 2/3-width + align-8 rounding."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    wide_silu: bool = True
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+    out_init_scale: float = 1.0  # applied to fc2 (value branch) as in reference
+
+    @nn.compact
+    def __call__(self, x):
+        out_dim = self.out_dim or x.shape[-1]
+        hidden = self.hidden_dim
+        if self.wide_silu:
+            hidden = int(2 * hidden / 3)
+            hidden = (hidden + 7) // 8 * 8
+        dense = lambda d, name, init: nn.Dense(
+            d,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=init,
+            bias_init=nn.initializers.zeros,
+            name=name,
+        )
+        x1 = dense(hidden, "fc1", trunc_normal(self.init_std))(x)
+        x2 = dense(hidden, "fc2", scaled_trunc_normal(self.init_std, self.out_init_scale))(x)
+        h = nn.silu(x1) * x2
+        return dense(out_dim, "fc3", trunc_normal(self.init_std))(h)
+
+
+def _qkv(x, dim, num_heads, qkv_bias, dtype, init_std, name="qkv"):
+    B, N, _ = x.shape
+    qkv = nn.Dense(
+        dim * 3,
+        use_bias=qkv_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=trunc_normal(init_std),
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )(x)
+    qkv = qkv.reshape(B, N, 3, num_heads, dim // num_heads)
+    return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # each [B, N, H, Dh]
+
+
+def _rope_rotate_qk(q, k, d_ids, h_ids, w_ids):
+    """Rotate q and k [B, N, H, Dh] by factorized (d, h, w) float ids [B, N] or [N]."""
+    head_dim = q.shape[-1]
+    d_dim, h_dim, w_dim = rope_3d_dims(head_dim)
+
+    def rot(x):
+        s = 0
+        parts = []
+        for ids, dim in ((d_ids, d_dim), (h_ids, h_dim), (w_ids, w_dim)):
+            cos, sin = rope_angles(ids, dim)
+            cos, sin = cos[..., None, :], sin[..., None, :]
+            sub = x[..., s : s + dim]
+            parts.append((sub * cos + rotate_pairs(sub) * sin).astype(x.dtype))
+            s += dim
+        if s < head_dim:
+            parts.append(x[..., s:])
+        return jnp.concatenate(parts, axis=-1)
+
+    return rot(q), rot(k)
+
+
+class Attention(nn.Module):
+    """Self-attention, optionally with factorized 3D RoPE.
+
+    When ``use_rope`` is True, callers must pass ``pos_ids`` ([B, N] or [N]
+    flat token indices) plus the static patch-grid dims ``h_patches`` /
+    ``w_patches``. ``grid_size`` (if set) rescales spatial ids by
+    grid_size / {H', W'} as the AC predictor does.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    use_rope: bool = False
+    is_causal: bool = False
+    grid_size: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+    proj_init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None):
+        B, N, C = x.shape
+        q, k, v = _qkv(x, self.dim, self.num_heads, self.qkv_bias, self.dtype, self.init_std)
+
+        if self.use_rope:
+            assert pos_ids is not None and h_patches is not None and w_patches is not None
+            d_ids, h_ids, w_ids = separate_positions(pos_ids, h_patches, w_patches)
+            d_ids = d_ids.astype(jnp.float32)
+            h_ids = h_ids.astype(jnp.float32)
+            w_ids = w_ids.astype(jnp.float32)
+            if self.grid_size is not None:
+                h_ids = h_ids * (self.grid_size / h_patches)
+                w_ids = w_ids * (self.grid_size / w_patches)
+            q, k = _rope_rotate_qk(q, k, d_ids, h_ids, w_ids)
+
+        out = sdpa(q, k, v, attn_mask=attn_mask, is_causal=self.is_causal)
+        out = out.reshape(B, N, C)
+        return nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=scaled_trunc_normal(self.init_std, self.proj_init_scale),
+            bias_init=nn.initializers.zeros,
+            name="proj",
+        )(out)
+
+
+class ACAttention(nn.Module):
+    """Attention over interleaved (conditioning + frame) tokens, frame-causal.
+
+    Input layout: [B, T*(A + HW), C] with A conditioning tokens leading each
+    frame group (reference `ac_predictor.py:146-153`). Conditioning tokens get
+    position ids (t, 0, 0); frame tokens get factorized grid ids snapped to
+    ``grid_size``. Frame-causal masking compares per-token frame ids.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    grid_size: int = 16
+    is_frame_causal: bool = True
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+    proj_init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int):
+        B, N, C = x.shape
+        A, HW = cond_tokens, h_patches * w_patches
+        assert N == T * (A + HW)
+        q, k, v = _qkv(x, self.dim, self.num_heads, self.qkv_bias, self.dtype, self.init_std)
+
+        # Factorized ids for every token in the interleaved sequence.
+        grid_flat = jnp.arange(T * HW, dtype=jnp.int32)
+        gd, gh, gw = separate_positions(grid_flat, h_patches, w_patches)
+        gh = gh.astype(jnp.float32) * (self.grid_size / h_patches)
+        gw = gw.astype(jnp.float32) * (self.grid_size / w_patches)
+        gd = gd.astype(jnp.float32)
+        frame_of = jnp.repeat(jnp.arange(T, dtype=jnp.float32), A + HW)  # [N]
+
+        def interleave(frame_vals, cond_vals):
+            f = frame_vals.reshape(T, HW)
+            c = cond_vals.reshape(T, A)
+            return jnp.concatenate([c, f], axis=1).reshape(N)
+
+        cond_t = jnp.repeat(jnp.arange(T, dtype=jnp.float32)[:, None], A, axis=1).reshape(-1)
+        d_ids = interleave(gd, cond_t)
+        h_ids = interleave(gh, jnp.zeros(T * A, jnp.float32))
+        w_ids = interleave(gw, jnp.zeros(T * A, jnp.float32))
+        q, k = _rope_rotate_qk(q, k, d_ids, h_ids, w_ids)
+
+        attn_mask = None
+        if self.is_frame_causal:
+            attn_mask = frame_of[:, None] >= frame_of[None, :]  # [N, N] bool
+
+        out = sdpa(q, k, v, attn_mask=attn_mask).reshape(B, N, C)
+        return nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=scaled_trunc_normal(self.init_std, self.proj_init_scale),
+            bias_init=nn.initializers.zeros,
+            name="proj",
+        )(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (reference `modules.py:500-563`)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_rope: bool = False
+    use_silu: bool = False
+    wide_silu: bool = True
+    is_causal: bool = False
+    grid_size: Optional[int] = None
+    layer_id: int = 0  # 0-based; residual rescale uses 1/sqrt(2*(layer_id+1))
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None):
+        rescale = 1.0 / math.sqrt(2.0 * (self.layer_id + 1))
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            use_rope=self.use_rope,
+            is_causal=self.is_causal,
+            grid_size=self.grid_size,
+            dtype=self.dtype,
+            init_std=self.init_std,
+            proj_init_scale=rescale,
+            name="attn",
+        )(y, pos_ids=pos_ids, attn_mask=attn_mask, h_patches=h_patches, w_patches=w_patches)
+        x = x + y
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.use_silu:
+            y = SwiGLUFFN(
+                hidden_dim=hidden,
+                wide_silu=self.wide_silu,
+                dtype=self.dtype,
+                init_std=self.init_std,
+                out_init_scale=rescale,
+                name="mlp",
+            )(y)
+        else:
+            y = Mlp(
+                hidden_dim=hidden,
+                dtype=self.dtype,
+                init_std=self.init_std,
+                out_init_scale=rescale,
+                name="mlp",
+            )(y)
+        return x + y
+
+
+class ACBlock(nn.Module):
+    """Pre-norm block with AC attention (reference `modules.py:432-497`)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_silu: bool = False
+    wide_silu: bool = True
+    grid_size: int = 16
+    is_frame_causal: bool = True
+    layer_id: int = 0
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int):
+        rescale = 1.0 / math.sqrt(2.0 * (self.layer_id + 1))
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = ACAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            grid_size=self.grid_size,
+            is_frame_causal=self.is_frame_causal,
+            dtype=self.dtype,
+            init_std=self.init_std,
+            proj_init_scale=rescale,
+            name="attn",
+        )(y, T=T, h_patches=h_patches, w_patches=w_patches, cond_tokens=cond_tokens)
+        x = x + y
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.use_silu:
+            y = SwiGLUFFN(
+                hidden_dim=hidden,
+                wide_silu=self.wide_silu,
+                dtype=self.dtype,
+                init_std=self.init_std,
+                out_init_scale=rescale,
+                name="mlp",
+            )(y)
+        else:
+            y = Mlp(
+                hidden_dim=hidden,
+                dtype=self.dtype,
+                init_std=self.init_std,
+                out_init_scale=rescale,
+                name="mlp",
+            )(y)
+        return x + y
+
+
+class CrossAttention(nn.Module):
+    """Query tokens cross-attend into a sequence (reference `modules.py:566-594`)."""
+
+    dim: int
+    num_heads: int = 12
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, q, x):
+        B, n, C = q.shape
+        N = x.shape[1]
+        Dh = self.dim // self.num_heads
+        dense = lambda d, name: nn.Dense(
+            d,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal(self.init_std),
+            bias_init=nn.initializers.zeros,
+            name=name,
+        )
+        qh = dense(self.dim, "q")(q).reshape(B, n, self.num_heads, Dh)
+        kv = dense(self.dim * 2, "kv")(x).reshape(B, N, 2, self.num_heads, Dh)
+        out = sdpa(qh, kv[:, :, 0], kv[:, :, 1])
+        return out.reshape(B, n, C)
+
+
+class CrossAttentionBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+    mlp_init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, q, x):
+        y = CrossAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            init_std=self.init_std,
+            name="xattn",
+        )(q, LayerNorm(dtype=self.dtype, name="norm1")(x))
+        q = q + y
+        y = LayerNorm(dtype=self.dtype, name="norm2")(q)
+        q = q + Mlp(
+            hidden_dim=int(self.dim * self.mlp_ratio),
+            dtype=self.dtype,
+            init_std=self.init_std,
+            out_init_scale=self.mlp_init_scale,
+            name="mlp",
+        )(y)
+        return q

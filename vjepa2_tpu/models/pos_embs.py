@@ -1,0 +1,67 @@
+"""Sin-cos positional embeddings (host-side numpy, computed once at init).
+
+Numerically identical to reference `src/models/utils/pos_embs.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def get_1d_sincos_pos_embed_from_grid(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=float)
+    omega /= embed_dim / 2.0
+    omega = 1.0 / 10000**omega
+    pos = pos.reshape(-1)
+    out = np.einsum("m,d->md", pos, omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_1d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:
+    grid = np.arange(grid_size, dtype=float)
+    pos_embed = get_1d_sincos_pos_embed_from_grid(embed_dim, grid)
+    if cls_token:
+        pos_embed = np.concatenate([np.zeros([1, embed_dim]), pos_embed], axis=0)
+    return pos_embed
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:
+    grid_h = np.arange(grid_size, dtype=float)
+    grid_w = np.arange(grid_size, dtype=float)
+    grid_w, grid_h = np.meshgrid(grid_w, grid_h)
+    emb_h = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid_h)
+    emb_w = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid_w)
+    pos_embed = np.concatenate([emb_h, emb_w], axis=1)
+    if cls_token:
+        pos_embed = np.concatenate([np.zeros([1, embed_dim]), pos_embed], axis=0)
+    return pos_embed
+
+
+def get_3d_sincos_pos_embed(
+    embed_dim: int,
+    grid_size: int,
+    grid_depth: int,
+    cls_token: bool = False,
+    uniform_power: bool = False,
+) -> np.ndarray:
+    grid_d = np.arange(grid_depth, dtype=float)
+    grid_h = np.arange(grid_size, dtype=float)
+    grid_w = np.arange(grid_size, dtype=float)
+    # meshgrid order matters: indexes as [d, h, w] (reference pos_embs.py:20-22)
+    grid_h, grid_d, grid_w = np.meshgrid(grid_h, grid_d, grid_w)
+
+    if not uniform_power:
+        h_embed_dim = embed_dim // 4
+        w_embed_dim = embed_dim // 4
+        d_embed_dim = embed_dim // 2
+    else:
+        h_embed_dim = w_embed_dim = d_embed_dim = int(np.ceil(embed_dim / 6) * 2)
+
+    emb_h = get_1d_sincos_pos_embed_from_grid(h_embed_dim, grid_h)
+    emb_w = get_1d_sincos_pos_embed_from_grid(w_embed_dim, grid_w)
+    emb_d = get_1d_sincos_pos_embed_from_grid(d_embed_dim, grid_d)
+    pos_embed = np.concatenate([emb_d, emb_h, emb_w], axis=1)[:, :embed_dim]
+    if cls_token:
+        pos_embed = np.concatenate([np.zeros([1, embed_dim]), pos_embed], axis=0)
+    return pos_embed

@@ -1,0 +1,163 @@
+"""JEPA predictor (reference `src/models/predictor.py`).
+
+A narrower ViT that consumes the encoder's *context* tokens plus learned mask
+tokens at the *target* positions, and predicts target-encoder features.
+
+TPU-native notes:
+
+* masks are single static-shape index arrays [B, K] (the reference's
+  multi-mask list handling lives in the MultiSeq wrappers at the train level,
+  which call the predictor once per mask config — `src/utils/wrappers.py`);
+* the reference's per-row python argsort gathers
+  (`predictor.py:215-217,240-241`) become batched ``take_along_axis`` — one
+  fused gather on device;
+* mask tokens live in a single [num_mask_tokens, D] parameter table indexed
+  by a static ``mask_index``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from vjepa2_tpu.models.modules import Block, LayerNorm, trunc_normal
+from vjepa2_tpu.models.pos_embs import get_2d_sincos_pos_embed, get_3d_sincos_pos_embed
+
+
+class VisionTransformerPredictor(nn.Module):
+    img_size: tuple[int, int] = (224, 224)
+    patch_size: int = 16
+    num_frames: int = 1
+    tubelet_size: int = 2
+    embed_dim: int = 768
+    predictor_embed_dim: int = 384
+    depth: int = 6
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    uniform_power: bool = False
+    use_mask_tokens: bool = False
+    num_mask_tokens: int = 2
+    zero_init_mask_tokens: bool = True
+    use_silu: bool = False
+    wide_silu: bool = True
+    use_rope: bool = False
+    use_activation_checkpointing: bool = False
+    return_all_tokens: bool = False
+    chop_last_n_tokens: int = 0
+    dtype: jnp.dtype = jnp.float32
+    init_std: float = 0.02
+
+    @property
+    def is_video(self) -> bool:
+        return self.num_frames > 1
+
+    def _pos_table(self) -> np.ndarray:
+        gh = self.img_size[0] // self.patch_size
+        if self.is_video:
+            gt = self.num_frames // self.tubelet_size
+            return get_3d_sincos_pos_embed(
+                self.predictor_embed_dim, gh, gt, cls_token=False, uniform_power=self.uniform_power
+            ).astype(np.float32)
+        return get_2d_sincos_pos_embed(self.predictor_embed_dim, gh, cls_token=False).astype(np.float32)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        masks_x: jnp.ndarray,
+        masks_y: jnp.ndarray,
+        mask_index: int = 1,
+        h_patches: Optional[int] = None,
+        w_patches: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """x: [B, Nc, E] context tokens; masks_x: [B, Nc]; masks_y: [B, Np].
+
+        h_patches/w_patches: static patch-grid dims of the *input clip* for
+        RoPE factorization (default: the module's init grid).
+        Returns [B, Np, E] predicted target features.
+        """
+        B, n_ctxt, _ = x.shape
+        n_pred = masks_y.shape[1]
+        P = self.predictor_embed_dim
+        if h_patches is None:
+            h_patches = self.img_size[0] // self.patch_size
+        if w_patches is None:
+            w_patches = self.img_size[1] // self.patch_size
+
+        dense = lambda d, name: nn.Dense(
+            d,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal(self.init_std),
+            bias_init=nn.initializers.zeros,
+            name=name,
+        )
+
+        tokens = dense(P, "predictor_embed")(x.astype(self.dtype))
+
+        pos_table = None
+        if not self.use_rope:
+            pos_table = jnp.asarray(self._pos_table())  # [N, P]
+            tokens = tokens + pos_table[masks_x.astype(jnp.int32)].astype(self.dtype)
+
+        # Target (mask) tokens.
+        if self.use_mask_tokens:
+            mask_tokens = self.param(
+                "mask_tokens",
+                nn.initializers.zeros if self.zero_init_mask_tokens else trunc_normal(self.init_std),
+                (self.num_mask_tokens, P),
+                jnp.float32,
+            )
+            mt = mask_tokens[mask_index % self.num_mask_tokens].astype(self.dtype)
+        else:
+            mt = jnp.zeros((P,), self.dtype)
+        pred_tokens = jnp.broadcast_to(mt, (B, n_pred, P))
+        if not self.use_rope:
+            pred_tokens = pred_tokens + pos_table[masks_y.astype(jnp.int32)].astype(self.dtype)
+
+        # Concatenate and sort by position id so RoPE (and any window logic)
+        # sees monotone positions; restore order afterwards.
+        tokens = jnp.concatenate([tokens, pred_tokens], axis=1)  # [B, Nc+Np, P]
+        positions = jnp.concatenate([masks_x, masks_y], axis=1).astype(jnp.int32)
+        order = jnp.argsort(positions, axis=1)
+        positions_sorted = jnp.take_along_axis(positions, order, axis=1)
+        tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+
+        if self.chop_last_n_tokens > 0:
+            tokens = tokens[:, : -self.chop_last_n_tokens]
+            positions_sorted = positions_sorted[:, : -self.chop_last_n_tokens]
+
+        block_cls = nn.remat(Block) if self.use_activation_checkpointing else Block
+        for i in range(self.depth):
+            tokens = block_cls(
+                dim=P,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                use_rope=self.use_rope,
+                use_silu=self.use_silu,
+                wide_silu=self.wide_silu,
+                layer_id=i,
+                dtype=self.dtype,
+                init_std=self.init_std,
+                name=f"predictor_blocks_{i}",
+            )(tokens, positions_sorted, None, h_patches, w_patches)
+
+        tokens = LayerNorm(dtype=self.dtype, name="predictor_norm")(tokens)
+
+        if not self.return_all_tokens:
+            inverse = jnp.argsort(order, axis=1)
+            tokens = jnp.take_along_axis(tokens, inverse[:, :, None], axis=1)
+            tokens = tokens[:, n_ctxt:]
+
+        return dense(self.embed_dim, "predictor_proj")(tokens)
+
+
+def vit_predictor(**kwargs) -> VisionTransformerPredictor:
+    kwargs.setdefault("mlp_ratio", 4.0)
+    kwargs.setdefault("qkv_bias", True)
+    return VisionTransformerPredictor(**kwargs)

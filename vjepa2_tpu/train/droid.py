@@ -1,0 +1,157 @@
+"""V-JEPA 2-AC post-training on robot trajectories
+(reference `app/vjepa_droid/train.py:403-470`).
+
+Per step: frames encoded independently by the frozen target encoder (each
+frame duplicated to a fake 2-frame tubelet), then the AC predictor is trained
+with (a) teacher-forced next-frame prediction and (b) an autoregressive
+rollout of ``auto_steps`` frames; loss is L1 on both against the shifted
+target features. LR follows the WSD (warmup-stable-decay) schedule.
+
+The reference's python rollout loop (`train.py:430-435`) is a static-length
+loop under jit here — sequence grows by tokens_per_frame per iteration, each
+iteration a separately-shaped predictor call, all fused into one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vjepa2_tpu.core.optim import make_adamw
+from vjepa2_tpu.core.schedulers import cosine_wd, wsd_lr
+from vjepa2_tpu.train.state import TrainState
+
+
+@dataclass(frozen=True)
+class DroidHParams:
+    lr: float = 4.25e-4
+    start_lr: float = 2e-4
+    final_lr: float = 0.0
+    warmup_steps: int = 800
+    anneal_steps: int = 4000
+    total_steps: int = 24000
+    wd: float = 0.04
+    final_wd: float = 0.4
+    betas: tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    loss_exp: float = 1.0
+    auto_steps: int = 2
+    normalize_reps: bool = True
+
+
+def feature_layernorm(h: jnp.ndarray) -> jnp.ndarray:
+    h = h.astype(jnp.float32)
+    return (h - h.mean(-1, keepdims=True)) / jnp.sqrt(h.var(-1, keepdims=True) + 1e-6)
+
+
+def make_droid_optimizer(hp: DroidHParams) -> optax.GradientTransformation:
+    lr_fn = functools.partial(
+        wsd_lr,
+        warmup_steps=hp.warmup_steps,
+        anneal_steps=hp.anneal_steps,
+        t_max=hp.total_steps,
+        start_lr=hp.start_lr,
+        ref_lr=hp.lr,
+        final_lr=hp.final_lr,
+    )
+    wd_fn = functools.partial(cosine_wd, ref_wd=hp.wd, t_max=hp.total_steps, final_wd=hp.final_wd)
+    return make_adamw(lr_fn, wd_fn, betas=hp.betas, eps=hp.eps)
+
+
+def encode_frames(encoder, enc_params, clips: jnp.ndarray) -> jnp.ndarray:
+    """Encode each frame independently (frame -> fake 2-frame tubelet).
+
+    clips: [B, T, H, W, C] -> [B, T*N_f, D]
+    (reference `train.py:408-415`).
+    """
+    B, T = clips.shape[0], clips.shape[1]
+    frames = clips.reshape((B * T, 1) + clips.shape[2:])
+    frames = jnp.repeat(frames, 2, axis=1)  # [B*T, 2, H, W, C]
+    h = encoder.apply({"params": enc_params}, frames)  # [B*T, N_f, D]
+    return h.reshape(B, T * h.shape[1], h.shape[2])
+
+
+def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_frame: int):
+    """Build the jitted AC train step.
+
+    batch: clips [B, T, H, W, C]; actions [B, T-1, 7]; states [B, T, 7];
+    extrinsics [B, T, 6] or None.
+    """
+    tpf = tokens_per_frame
+
+    def train_step(state: TrainState, clips, actions, states, extrinsics=None):
+        h = encode_frames(encoder, state.target_params, clips)
+        if hp.normalize_reps:
+            h = feature_layernorm(h)
+        h = jax.lax.stop_gradient(h)
+
+        def apply_pred(params, z, a, s, e):
+            z = predictor.apply({"params": params}, z, a, s, e)
+            if hp.normalize_reps:
+                z = feature_layernorm(z)
+            return z
+
+        def loss_fn(params):
+            p = params["predictor"]
+            # teacher forcing: predict frames 1..T-1 from frames 0..T-2
+            z_tf = apply_pred(
+                p,
+                h[:, :-tpf],
+                actions,
+                states[:, :-1],
+                None if extrinsics is None else extrinsics[:, :-1],
+            )
+            # autoregressive rollout
+            z = jnp.concatenate([h[:, :tpf], z_tf[:, :tpf]], axis=1)
+            for n in range(1, hp.auto_steps):
+                e_n = None if extrinsics is None else extrinsics[:, : n + 1]
+                z_nxt = apply_pred(p, z, actions[:, : n + 1], states[:, : n + 1], e_n)[:, -tpf:]
+                z = jnp.concatenate([z, z_nxt], axis=1)
+            z_ar = z[:, tpf:]
+
+            def l1(zz):
+                hh = h[:, tpf : zz.shape[1] + tpf]
+                d = jnp.abs(zz.astype(jnp.float32) - hh.astype(jnp.float32))
+                if hp.loss_exp != 1.0:
+                    d = d**hp.loss_exp
+                return d.mean() / hp.loss_exp
+
+            jloss = l1(z_tf)
+            sloss = l1(z_ar)
+            return jloss + sloss, (jloss, sloss)
+
+        (loss, (jloss, sloss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, {
+            "loss": loss,
+            "loss_teacher_forcing": jloss,
+            "loss_rollout": sloss,
+            "grad_norm": optax.global_norm(grads),
+        }
+
+    return train_step
+
+
+def init_droid_params(encoder, predictor, seed: int, clip_shape, action_dim: int = 7):
+    """Init: frozen encoder params become the target; predictor params train."""
+    B, T = clip_shape[0], clip_shape[1]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    frames = jnp.zeros((B * T, 2) + tuple(clip_shape[2:]), jnp.float32)
+    enc_vars = encoder.init(k1, frames)
+    h = encoder.apply(enc_vars, frames)
+    tpf = h.shape[1]
+    h_full = h.reshape(B, T * tpf, h.shape[2])
+    pred_vars = predictor.init(
+        k2,
+        h_full[:, :-tpf],
+        jnp.zeros((B, T - 1, action_dim), jnp.float32),
+        jnp.zeros((B, T - 1, action_dim), jnp.float32),
+    )
+    params = {"predictor": pred_vars["params"]}
+    return params, enc_vars["params"], tpf

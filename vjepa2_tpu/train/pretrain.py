@@ -1,0 +1,221 @@
+"""JEPA masked-latent pretraining: one jitted, mesh-sharded train step.
+
+Replaces the reference's hot loop (`app/vjepa/train.py:409-471`) — target
+forward (stop_gradient) + per-mask context forward + predictor + L1^exp loss
++ AdamW + EMA — with a single ``jax.jit`` program. There are no DDP wrappers
+and no GradScaler: gradients all-reduce via sharding propagation over the
+mesh, and bf16 compute with fp32 params/optimizer needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vjepa2_tpu.core.mesh import batch_spec, make_mesh, param_spec
+from vjepa2_tpu.core.optim import ema_update, make_adamw
+from vjepa2_tpu.core.schedulers import cosine_wd, ema_momentum, warmup_cosine_lr
+from vjepa2_tpu.models.predictor import VisionTransformerPredictor
+from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY, VisionTransformer
+from vjepa2_tpu.ops.masking import apply_mask
+from vjepa2_tpu.train.state import TrainState
+
+
+@dataclass(frozen=True)
+class PretrainHParams:
+    """Optimization hyper-parameters (reference `configs/train/*/..yaml`)."""
+
+    lr: float = 6.25e-4
+    start_lr: float = 2e-4
+    final_lr: float = 1e-6
+    warmup_epochs: float = 40
+    epochs: int = 300
+    ipe: int = 300
+    ipe_scale: float = 1.25
+    wd: float = 0.04
+    final_wd: float = 0.4
+    ema: tuple[float, float] = (0.998, 1.0)
+    betas: tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    loss_exp: float = 1.0
+
+    @property
+    def total_steps(self) -> int:
+        return int(self.ipe_scale * self.epochs * self.ipe)
+
+    @property
+    def warmup_steps(self) -> int:
+        return int(self.warmup_epochs * self.ipe)
+
+
+def build_models(
+    model_name: str = "vit_base",
+    crop_size: int = 224,
+    patch_size: int = 16,
+    num_frames: int = 16,
+    tubelet_size: int = 2,
+    pred_depth: int = 12,
+    pred_embed_dim: int = 384,
+    pred_num_heads: int | None = None,
+    uniform_power: bool = True,
+    use_rope: bool = False,
+    use_silu: bool = False,
+    wide_silu: bool = True,
+    use_mask_tokens: bool = True,
+    num_mask_tokens: int = 2,
+    zero_init_mask_tokens: bool = True,
+    use_activation_checkpointing: bool = False,
+    dtype=jnp.bfloat16,
+) -> tuple[VisionTransformer, VisionTransformerPredictor]:
+    """Mirror of reference `app/vjepa/utils.py:init_video_model`."""
+    enc = MODEL_REGISTRY[model_name](
+        patch_size=patch_size,
+        img_size=(crop_size, crop_size),
+        num_frames=num_frames,
+        tubelet_size=tubelet_size,
+        uniform_power=uniform_power,
+        use_rope=use_rope,
+        use_silu=use_silu,
+        wide_silu=wide_silu,
+        use_activation_checkpointing=use_activation_checkpointing,
+        dtype=dtype,
+    )
+    pred = VisionTransformerPredictor(
+        img_size=(crop_size, crop_size),
+        patch_size=patch_size,
+        num_frames=num_frames,
+        tubelet_size=tubelet_size,
+        embed_dim=enc.embed_dim,
+        predictor_embed_dim=pred_embed_dim,
+        depth=pred_depth,
+        num_heads=pred_num_heads or enc.num_heads,
+        uniform_power=uniform_power,
+        use_rope=use_rope,
+        use_silu=use_silu,
+        wide_silu=wide_silu,
+        use_mask_tokens=use_mask_tokens,
+        num_mask_tokens=num_mask_tokens,
+        zero_init_mask_tokens=zero_init_mask_tokens,
+        use_activation_checkpointing=use_activation_checkpointing,
+        dtype=dtype,
+    )
+    return enc, pred
+
+
+def init_params(encoder, predictor, seed: int, clip_shape, masks_enc0, masks_pred0):
+    """Initialize encoder/predictor/target params (target = copy of encoder,
+    reference deepcopy at `app/vjepa/train.py:210`)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    clips = jnp.zeros(clip_shape, jnp.float32)
+    enc_vars = encoder.init(k1, clips, [masks_enc0])
+    z = encoder.apply(enc_vars, clips, [masks_enc0])
+    pred_vars = predictor.init(k2, z, masks_enc0, masks_pred0, 0)
+    params = {"encoder": enc_vars["params"], "predictor": pred_vars["params"]}
+    # Real copy (not aliased buffers): params and target are donated separately
+    # by the train step, and XLA rejects donating the same buffer twice.
+    target = jax.tree_util.tree_map(jnp.copy, enc_vars["params"])
+    return params, target
+
+
+def make_optimizer(hp: PretrainHParams) -> optax.GradientTransformation:
+    lr_fn = functools.partial(
+        warmup_cosine_lr,
+        warmup_steps=hp.warmup_steps,
+        start_lr=hp.start_lr,
+        ref_lr=hp.lr,
+        t_max=hp.total_steps,
+        final_lr=hp.final_lr,
+    )
+    wd_fn = functools.partial(cosine_wd, ref_wd=hp.wd, t_max=hp.total_steps, final_wd=hp.final_wd)
+    return make_adamw(lr_fn, wd_fn, betas=hp.betas, eps=hp.eps)
+
+
+def jepa_loss(z_list, h_list, loss_exp: float) -> jnp.ndarray:
+    """Mean over (mask-config) pairs of mean |z - h|^p / p (reference
+    `train.py:425-435`)."""
+    loss = 0.0
+    for z, h in zip(z_list, h_list):
+        diff = jnp.abs(z.astype(jnp.float32) - h.astype(jnp.float32))
+        if loss_exp != 1.0:
+            diff = diff**loss_exp
+        loss = loss + diff.mean() / loss_exp
+    return loss / len(z_list)
+
+
+def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: Sequence[int] | None = None):
+    """Build the jitted train step.
+
+    batch: clips [B, T, H, W, C]; masks_enc/masks_pred: tuples (one per mask
+    config) of [B, K] int32 index arrays (static K per config).
+    """
+
+    def train_step(state: TrainState, clips, masks_enc, masks_pred):
+        momentum = ema_momentum(
+            state.step, ema_start=hp.ema[0], ema_end=hp.ema[1], t_max=hp.total_steps
+        )
+
+        # -- target features: full clip, stop-gradient, feature-wise layernorm
+        h_all = encoder.apply({"params": state.target_params}, clips)
+        h_all = h_all.astype(jnp.float32)
+        h_all = (h_all - h_all.mean(-1, keepdims=True)) / jnp.sqrt(
+            h_all.var(-1, keepdims=True) + 1e-6
+        )
+        h_all = jax.lax.stop_gradient(h_all)
+        h_list = [apply_mask(h_all, mp) for mp in masks_pred]
+
+        def loss_fn(params):
+            z_list = []
+            for i, (me, mp) in enumerate(zip(masks_enc, masks_pred)):
+                z = encoder.apply({"params": params["encoder"]}, clips, [me])
+                mask_index = mask_indices[i] if mask_indices is not None else i
+                z = predictor.apply(
+                    {"params": params["predictor"]}, z, me, mp, mask_index
+                )
+                z_list.append(z)
+            return jepa_loss(z_list, h_list, hp.loss_exp)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        target = ema_update(state.target_params, params["encoder"], momentum)
+        new_state = state.replace(
+            step=state.step + 1, params=params, target_params=target, opt_state=opt_state
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "ema_momentum": momentum,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def shard_state(state: TrainState, mesh) -> TrainState:
+    """Place the train state on the mesh per the FSDP param rules."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def place(path, leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            return jax.device_put(leaf, NamedSharding(mesh, param_spec(path, leaf)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
+def jit_train_step(train_step, mesh):
+    """jit with batch sharded over (data, fsdp); state shardings propagate
+    from the (already placed) input state."""
+    from jax.sharding import NamedSharding
+
+    data_sh = NamedSharding(mesh, batch_spec())
+    return jax.jit(
+        train_step,
+        in_shardings=(None, data_sh, data_sh, data_sh),
+        donate_argnums=(0,),
+    )
