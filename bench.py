@@ -1,12 +1,18 @@
-"""Benchmark: ViT-g/16 clip-encode throughput on the local accelerator.
-
-Prints ONE JSON line:
+"""Benchmarks on the local accelerator. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
+Modes:
+  --mode encode    ViT clip-encode throughput (default; the BASELINE.json
+                   headline "clips/sec/chip")
+  --mode pretrain  full masked-pretrain train-step time (dual encoder fwd +
+                   predictor + backward + AdamW + EMA)
+
 The reference publishes no wall-clock numbers (BASELINE.md), so
-``vs_baseline`` reports model FLOPs utilization (measured / speed-of-light
-on this chip) — the honest "how close to the hardware ceiling" number the
-north star asks for. Flags: --model vit_large|vit_giant, --batch, --steps.
+``vs_baseline`` reports model FLOPs utilization (measured / chip bf16 peak).
+
+NOTE: timing must chain a data dependency between steps — the device runtime
+memoizes repeated identical (executable, args) dispatches (see
+.claude/skills/verify/SKILL.md).
 """
 
 import argparse
@@ -26,6 +32,13 @@ PEAK_BF16_TFLOPS = {
     "cpu": 1.0,
 }
 
+MASK_CFGS = [
+    {"spatial_scale": (0.15, 0.15), "temporal_scale": (1.0, 1.0),
+     "aspect_ratio": (0.75, 1.5), "num_blocks": 8},
+    {"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+     "aspect_ratio": (0.75, 1.5), "num_blocks": 2},
+]
+
 
 def chip_peak_tflops() -> float:
     d = jax.devices()[0]
@@ -36,8 +49,8 @@ def chip_peak_tflops() -> float:
     return PEAK_BF16_TFLOPS.get(kind, 1.0)
 
 
-def encode_flops(embed_dim, depth, mlp_ratio, n_tokens, patch_flop) -> float:
-    """Analytic forward FLOPs per clip for a ViT encoder."""
+def encoder_flops(embed_dim, depth, mlp_ratio, n_tokens, patch_size=16, tubelet=2) -> float:
+    """Analytic forward FLOPs for one sample of a ViT encoder."""
     d = embed_dim
     per_block = (
         2 * n_tokens * d * 3 * d  # qkv
@@ -45,24 +58,13 @@ def encode_flops(embed_dim, depth, mlp_ratio, n_tokens, patch_flop) -> float:
         + 2 * n_tokens * d * d  # proj
         + 2 * 2 * n_tokens * d * int(d * mlp_ratio)  # mlp fc1+fc2
     )
+    patch_flop = 2 * n_tokens * d * (tubelet * patch_size * patch_size * 3)
     return depth * per_block + patch_flop
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="vit_giant")
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--frames", type=int, default=16)
-    ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=20)
-    args = ap.parse_args()
-
+def bench_encode(args):
     from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
 
-    if args.model not in MODEL_REGISTRY:
-        raise SystemExit(
-            f"unknown model '{args.model}'; choose from: {', '.join(sorted(MODEL_REGISTRY))}"
-        )
     enc = MODEL_REGISTRY[args.model](
         img_size=(args.size, args.size),
         num_frames=args.frames,
@@ -76,10 +78,6 @@ def main():
     clips = jnp.asarray(rs.rand(B, T, S, S, 3), jnp.bfloat16)
     params = jax.jit(enc.init)(jax.random.PRNGKey(0), clips)
 
-    # Chained steps: each input is perturbed by the previous output's mean,
-    # so every dispatch has fresh args and a data dependency on the last —
-    # immune to runtime-side memoization of identical (executable, args)
-    # dispatches and to async-queue timing artifacts.
     @jax.jit
     def step(p, x, carry):
         out = enc.apply(p, x + carry)
@@ -96,22 +94,109 @@ def main():
     clips_per_sec = B / dt
 
     n_tokens = (T // 2) * (S // 16) ** 2
-    d = enc.embed_dim
-    patch_flop = 2 * n_tokens * d * (2 * 16 * 16 * 3)
-    flops = encode_flops(d, enc.depth, enc.mlp_ratio, n_tokens, patch_flop)
-    achieved_tflops = clips_per_sec * flops / 1e12
-    mfu = achieved_tflops / chip_peak_tflops()
+    flops = encoder_flops(enc.embed_dim, enc.depth, enc.mlp_ratio, n_tokens)
+    mfu = clips_per_sec * flops / 1e12 / chip_peak_tflops()
+    return {
+        "metric": f"{args.model} encode clips/sec/chip ({T}f@{S}px bf16)",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(mfu, 4),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.model} encode clips/sec/chip ({T}f@{S}px bf16)",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s",
-                "vs_baseline": round(mfu, 4),
-            }
-        )
+
+def bench_pretrain(args):
+    from vjepa2_tpu.masks.multiblock3d import MaskCollator
+    from vjepa2_tpu.train.pretrain import (
+        PretrainHParams,
+        build_models,
+        init_params,
+        make_optimizer,
+        make_train_step,
     )
+    from vjepa2_tpu.train.state import TrainState
+
+    B, T, S = args.batch, args.frames, args.size
+    encoder, predictor = build_models(
+        model_name=args.model,
+        crop_size=S,
+        num_frames=T,
+        pred_depth=12,
+        pred_embed_dim=384,
+        pred_num_heads=12,
+        use_rope=True,
+        num_mask_tokens=2,
+        use_activation_checkpointing=args.remat,
+        dtype=jnp.bfloat16,
+    )
+    coll = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
+    coll.step()
+    masks_enc, masks_pred = coll(T, B)
+    hp = PretrainHParams(ipe=100, epochs=10)
+    tx = make_optimizer(hp)
+    params, target = init_params(
+        encoder, predictor, 0, (B, T, S, S, 3),
+        jnp.asarray(masks_enc[0]), jnp.asarray(masks_pred[0]),
+    )
+    state = TrainState.create(params, target, tx)
+    step = jax.jit(make_train_step(encoder, predictor, tx, hp), donate_argnums=(0,))
+
+    rs = np.random.RandomState(0)
+    clips = jnp.asarray(rs.rand(B, T, S, S, 3), jnp.float32)
+    me = tuple(jnp.asarray(m) for m in masks_enc)
+    mp = tuple(jnp.asarray(m) for m in masks_pred)
+
+    state, metrics = step(state, clips, me, mp)  # compile
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        # fresh masks each step = fresh args (defeats dispatch memoization)
+        coll.step()
+        menc, mpred = coll(T, B)
+        state, metrics = step(
+            state, clips, tuple(map(jnp.asarray, menc)), tuple(map(jnp.asarray, mpred))
+        )
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    # FLOP estimate: target fwd (full seq) + 2 ctx fwd (enc on ctx tokens +
+    # predictor) + backward (~2x fwd of trained path)
+    n_full = (T // 2) * (S // 16) ** 2
+    enc_f = encoder_flops(encoder.embed_dim, encoder.depth, encoder.mlp_ratio, n_full)
+    ctx_f = sum(
+        encoder_flops(encoder.embed_dim, encoder.depth, encoder.mlp_ratio, m.shape[1])
+        for m in me
+    )
+    pred_tokens = sum(me[i].shape[1] + mp[i].shape[1] for i in range(len(me)))
+    pred_f = encoder_flops(384, 12, 4.0, pred_tokens)
+    total = B * (enc_f + 3 * (ctx_f + pred_f))  # fwd + ~2x bwd on trained path
+    mfu = total / dt / 1e12 / chip_peak_tflops()
+    return {
+        "metric": f"{args.model} masked-pretrain step time ({T}f@{S}px bs{B} bf16)",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/step",
+        "vs_baseline": round(mfu, 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="encode", choices=["encode", "pretrain"])
+    ap.add_argument("--model", default="vit_giant")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+
+    from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
+
+    if args.model not in MODEL_REGISTRY:
+        raise SystemExit(
+            f"unknown model '{args.model}'; choose from: {', '.join(sorted(MODEL_REGISTRY))}"
+        )
+    out = bench_encode(args) if args.mode == "encode" else bench_pretrain(args)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,61 @@
+"""Native host-ops: parity with the numpy/cv2 path + a perf sanity check."""
+
+import time
+
+import numpy as np
+import pytest
+
+from vjepa2_tpu.data import native
+from vjepa2_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, VideoTransform
+from vjepa2_tpu.data.video import synthetic_clip
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+def test_normalize_clip_parity():
+    clip = synthetic_clip(4, 32, 48)
+    out = native.normalize_clip(clip, IMAGENET_MEAN, IMAGENET_STD, num_threads=2)
+    ref = (clip.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_crop_resize_normalize_parity_with_cv2():
+    cv2 = pytest.importorskip("cv2")
+    clip = synthetic_clip(3, 64, 96)
+    T = clip.shape[0]
+    top, left, h, w = 5, 10, 48, 72
+    S = 32
+    boxes = tuple(np.full(T, v, np.int32) for v in (top, left, h, w))
+    out = native.crop_resize_normalize_clip(
+        clip, *boxes, S, IMAGENET_MEAN, IMAGENET_STD, hflip=False, num_threads=2
+    )
+    # cv2 reference path
+    ref = []
+    for t in range(T):
+        c = clip[t, top : top + h, left : left + w]
+        r = cv2.resize(c, (S, S), interpolation=cv2.INTER_LINEAR)
+        ref.append((r.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD)
+    ref = np.stack(ref)
+    np.testing.assert_allclose(out, ref, atol=5e-2)  # interp rounding differs slightly
+    # cv2 uses fixed-point bilinear; agreement is sub-uint8-quantization
+    # (0.005 normalized ~= 0.3 of one 1/255 level)
+    assert np.abs(out - ref).mean() < 1e-2
+
+
+def test_hflip():
+    clip = synthetic_clip(2, 40, 40)
+    boxes = tuple(np.full(2, v, np.int32) for v in (0, 0, 40, 40))
+    a = native.crop_resize_normalize_clip(clip, *boxes, 40, IMAGENET_MEAN, IMAGENET_STD, hflip=False)
+    b = native.crop_resize_normalize_clip(clip, *boxes, 40, IMAGENET_MEAN, IMAGENET_STD, hflip=True)
+    np.testing.assert_allclose(a, b[:, :, ::-1], atol=1e-6)
+
+
+def test_video_transform_native_path():
+    clip = synthetic_clip(8, 72, 96)
+    t_native = VideoTransform(crop_size=32, use_native=True)
+    t_numpy = VideoTransform(crop_size=32, use_native=False)
+    rng1, rng2 = np.random.default_rng(0), np.random.default_rng(0)
+    a = t_native(clip, rng=rng1)
+    b = t_numpy(clip, rng=rng2)
+    assert a.shape == b.shape == (8, 32, 32, 3)
+    assert np.abs(a - b).mean() < 5e-2  # same crop box; interp differences only

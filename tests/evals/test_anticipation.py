@@ -1,0 +1,65 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vjepa2_tpu.evals.action_anticipation import (
+    ClassMeanRecall,
+    MultiHeadAttentiveClassifier,
+    anticipative_features,
+    sigmoid_focal_loss,
+)
+from vjepa2_tpu.models.predictor import vit_predictor
+from vjepa2_tpu.models.vision_transformer import vit_tiny
+
+
+def test_focal_loss_basic():
+    logits = jnp.asarray([[10.0, -10.0], [-10.0, 10.0]])
+    good = sigmoid_focal_loss(logits, jnp.asarray([0, 1]))
+    bad = sigmoid_focal_loss(logits, jnp.asarray([1, 0]))
+    assert float(good) < float(bad)
+
+
+def test_class_mean_recall():
+    m = ClassMeanRecall(num_classes=4, k=1)
+    logits = np.eye(4)[[0, 1, 2, 3]]  # perfect
+    m.update(logits, np.arange(4))
+    out = m.compute()
+    assert abs(out["recall"] - 100.0) < 1e-3 and out["accuracy"] == 100.0
+    m2 = ClassMeanRecall(num_classes=4, k=1)
+    m2.update(logits, np.asarray([1, 0, 3, 2]))  # all wrong
+    out2 = m2.compute()
+    assert out2["recall"] == 0.0
+
+
+def test_multihead_classifier_shapes():
+    m = MultiHeadAttentiveClassifier(embed_dim=32, num_heads=4, num_verbs=5, num_nouns=7, num_actions=9)
+    x = jnp.ones((2, 10, 32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    v, n, a = m.apply(params, x)
+    assert v.shape == (2, 5) and n.shape == (2, 7) and a.shape == (2, 9)
+
+
+def test_anticipative_features():
+    S, T = 32, 4
+    enc = vit_tiny(img_size=(S, S), num_frames=T, tubelet_size=2, use_rope=True)
+    pred = vit_predictor(
+        img_size=(S, S), num_frames=T, tubelet_size=2, embed_dim=192,
+        predictor_embed_dim=64, depth=1, num_heads=2, use_mask_tokens=True,
+        num_mask_tokens=1, use_rope=True,
+    )
+    clips = jnp.ones((2, T, S, S, 3))
+    ep = enc.init(jax.random.PRNGKey(0), clips)["params"]
+    N = 2 * 2 * 2  # t' * h' * w'
+    hp_, wp_ = 2, 2
+    x = enc.apply({"params": ep}, clips)
+    pp = pred.init(
+        jax.random.PRNGKey(1), x, jnp.zeros((2, N), jnp.int32), jnp.zeros((2, 4), jnp.int32), 0
+    )["params"]
+    feats = anticipative_features(
+        enc, ep, pred, pp, clips,
+        anticipation_times=jnp.asarray([1.0, 2.0]),
+        frames_per_second=2.0, tubelet_size=2, grid_size=2,
+        num_output_frames=2, num_steps=2, h_patches=hp_, w_patches=wp_,
+    )
+    n_pred = 4  # grid 2x2, one tubelet-frame
+    assert feats.shape == (2, N + 2 * n_pred, 192)

@@ -34,7 +34,7 @@ def test_predictor_shapes(use_rope):
     assert out.shape == (B, Np, E)
     # different mask token index -> different prediction (tokens zero-init, so
     # use non-zero init to see the difference)
-    m2 = m.replace(zero_init_mask_tokens=False)
+    m2 = m.clone(zero_init_mask_tokens=False)
     params2 = m2.init(jax.random.PRNGKey(1), x, mx, my, 0)
     y0 = m2.apply(params2, x, mx, my, 0)
     y1 = m2.apply(params2, x, mx, my, 1)

@@ -16,3 +16,14 @@ A ground-up re-design of the capabilities of the reference V-JEPA 2 repo
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+if _os.environ.get("VJEPA2_TPU_PRNG", "rbg") == "rbg":
+    # The default threefry PRNG compiles pathologically slowly on TPU for
+    # whole-model init programs (~35x slower than rbg measured on v5e: 350s
+    # vs 10s for a 12-block ViT init). rbg is the TPU-native generator;
+    # seeds still give reproducible runs. Opt out: VJEPA2_TPU_PRNG=threefry.
+    _jax.config.update("jax_default_prng_impl", "rbg")

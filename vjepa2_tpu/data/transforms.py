@@ -73,7 +73,12 @@ def _sample_crop_box(H, W, scale, ratio, rng):
 
 @dataclass
 class VideoTransform:
-    """Pretrain-time augmentation (reference `app/vjepa/transforms.py:37-116`)."""
+    """Pretrain-time augmentation (reference `app/vjepa/transforms.py:37-116`).
+
+    With ``use_native=True`` (default when built) the crop + bilinear resize
+    + normalize is one fused pass in the C library (`native/host_ops.cpp`),
+    threaded across frames.
+    """
 
     crop_size: int = 224
     random_resize_scale: tuple[float, float] = (0.3, 1.0)
@@ -83,16 +88,47 @@ class VideoTransform:
     normalize: bool = True
     mean: np.ndarray = None
     std: np.ndarray = None
+    use_native: Optional[bool] = None
+    native_threads: int = 4
 
     def __post_init__(self):
         self.mean = IMAGENET_MEAN if self.mean is None else np.asarray(self.mean, np.float32)
         self.std = IMAGENET_STD if self.std is None else np.asarray(self.std, np.float32)
+        if self.use_native is None:
+            from vjepa2_tpu.data import native
+
+            self.use_native = self.normalize and native.available()
+
+    def _native_call(self, clip, boxes, hflip):
+        from vjepa2_tpu.data import native
+
+        tops, lefts, hs, ws = boxes
+        return native.crop_resize_normalize_clip(
+            clip, tops, lefts, hs, ws, self.crop_size, self.mean, self.std,
+            hflip=hflip, num_threads=self.native_threads,
+        )
 
     def __call__(self, clip: np.ndarray, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """clip: [T, H, W, C] uint8 -> [T, S, S, C] float32 normalized."""
         rng = rng or np.random.default_rng()
         T, H, W, C = clip.shape
         top, left, h, w = _sample_crop_box(H, W, self.random_resize_scale, self.random_resize_aspect_ratio, rng)
+
+        flip = bool(self.horizontal_flip and rng.random() < 0.5)
+        if self.use_native and clip.dtype == np.uint8:
+            if self.motion_shift:
+                top2, left2, h2, w2 = _sample_crop_box(
+                    H, W, self.random_resize_scale, self.random_resize_aspect_ratio, rng
+                )
+                boxes = (
+                    np.linspace(top, top2, T).astype(np.int32),
+                    np.linspace(left, left2, T).astype(np.int32),
+                    np.linspace(h, h2, T).astype(np.int32),
+                    np.linspace(w, w2, T).astype(np.int32),
+                )
+            else:
+                boxes = tuple(np.full(T, v, np.int32) for v in (top, left, h, w))
+            return self._native_call(clip, boxes, flip)
 
         if self.motion_shift:
             # Independent end-box; crop box interpolated across time
@@ -114,7 +150,7 @@ class VideoTransform:
             cropped = clip[:, top : top + h, left : left + w]
             out = resize_clip(cropped, (self.crop_size, self.crop_size))
 
-        if self.horizontal_flip and rng.random() < 0.5:
+        if flip:
             out = out[:, :, ::-1]
 
         out = out.astype(np.float32) / 255.0

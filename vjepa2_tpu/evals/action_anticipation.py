@@ -1,0 +1,163 @@
+"""EK100 action-anticipation frozen eval
+(reference `evals/action_anticipation_frozen/`).
+
+Components:
+* ``sigmoid_focal_loss`` (reference `losses.py:9`);
+* ``ClassMeanRecall`` — mean-class recall@k with cross-host TP/FN reduction
+  (reference `metrics.py:12-59`; here accumulation is numpy and the
+  reduction a `jax` psum-style sum over processes when distributed);
+* ``anticipative_features`` — encoder features + predictor queried at future
+  token positions derived from the anticipation time, with autoregressive
+  accumulation (reference `modelcustom/vit_encoder_predictor_concat_ar.py:151-189`);
+* ``MultiHeadAttentiveClassifier`` — 3-query attentive probe emitting
+  verb / noun / action logits (reference `models.py:19-68`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vjepa2_tpu.models.attentive_pooler import AttentivePooler
+from vjepa2_tpu.models.modules import trunc_normal
+
+
+def sigmoid_focal_loss(logits, labels, alpha=0.25, gamma=2.0):
+    """Mean focal BCE over a batch. logits [B, K]; labels [B] int."""
+    K = logits.shape[-1]
+    targets = jax.nn.one_hot(labels, K)
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_bce(logits, targets)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = alpha_t * loss
+    return loss.sum() / logits.shape[0]
+
+
+def optax_sigmoid_bce(logits, targets):
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -targets * log_p - (1.0 - targets) * log_not_p
+
+
+class ClassMeanRecall:
+    def __init__(self, num_classes: int, k: int = 5):
+        self.num_classes = num_classes
+        self.k = k
+        self.TP = np.zeros(num_classes)
+        self.FN = np.zeros(num_classes)
+
+    def update(self, logits: np.ndarray, labels: np.ndarray, valid_classes: Optional[set] = None):
+        logits = np.asarray(logits)
+        if valid_classes is not None:
+            masked = np.zeros_like(logits)
+            idx = np.asarray(sorted(valid_classes))
+            masked[:, idx] = logits[:, idx]
+            logits = masked
+        preds = np.argsort(-logits, axis=1)[:, : self.k]
+        for p, gt in zip(preds, np.asarray(labels)):
+            if gt in p:
+                self.TP[gt] += 1
+            else:
+                self.FN[gt] += 1
+
+    def compute(self, eps: float = 1e-8) -> dict:
+        TP, FN = self.TP, self.FN
+        if jax.process_count() > 1:  # cross-host reduction
+            TP = np.asarray(
+                jax.experimental.multihost_utils.process_allgather(jnp.asarray(TP))
+            ).sum(0)
+            FN = np.asarray(
+                jax.experimental.multihost_utils.process_allgather(jnp.asarray(FN))
+            ).sum(0)
+        hit = (TP + FN) > 0
+        nch = max(1, int(hit.sum()))
+        recall = 100.0 * float((TP / (TP + FN + eps)).sum()) / nch
+        total = max(1, int((TP + FN).sum()))
+        acc = 100.0 * float(TP.sum()) / total
+        return {"recall": recall, "accuracy": acc}
+
+
+class MultiHeadAttentiveClassifier(nn.Module):
+    """3 queries -> (verb, noun, action) heads."""
+
+    embed_dim: int
+    num_heads: int
+    num_verbs: int
+    num_nouns: int
+    num_actions: int
+    depth: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        q = AttentivePooler(
+            num_queries=3,
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            depth=self.depth,
+            name="pooler",
+        )(x)  # [B, 3, D]
+        dense = lambda d, name: nn.Dense(
+            d, kernel_init=trunc_normal(0.02), bias_init=nn.initializers.zeros, name=name
+        )
+        verb = dense(self.num_verbs, "verb_head")(q[:, 0])
+        noun = dense(self.num_nouns, "noun_head")(q[:, 1])
+        action = dense(self.num_actions, "action_head")(q[:, 2])
+        return verb, noun, action
+
+
+def anticipative_features(
+    encoder,
+    enc_params,
+    predictor,
+    pred_params,
+    clips: jnp.ndarray,
+    anticipation_times: jnp.ndarray,
+    frames_per_second: float,
+    tubelet_size: int = 2,
+    grid_size: int = 16,
+    num_output_frames: int = 2,
+    num_steps: int = 1,
+    h_patches: Optional[int] = None,
+    w_patches: Optional[int] = None,
+) -> jnp.ndarray:
+    """Frozen features at future positions.
+
+    clips [B, T, H, W, C]; anticipation_times [B] seconds. Returns
+    [B, N + num_steps*N_pred, D]: encoder tokens plus autoregressively
+    accumulated predicted tokens.
+    """
+    x = encoder.apply({"params": enc_params}, clips)
+    B, N, D = x.shape
+    hp = h_patches or grid_size
+    wp = w_patches or grid_size
+    tokens_per_frame = hp * wp
+
+    ctxt_positions = jnp.broadcast_to(jnp.arange(N), (B, N))
+    anticipation_steps = (anticipation_times * frames_per_second / tubelet_size).astype(jnp.int32)
+    skip = N + tokens_per_frame * anticipation_steps  # [B]
+    n_pred = tokens_per_frame * (max(num_output_frames, tubelet_size) // tubelet_size)
+    tgt_positions = jnp.broadcast_to(jnp.arange(n_pred), (B, n_pred)) + skip[:, None]
+
+    accum = x
+    cur = x
+    for _ in range(num_steps):
+        x_pred = predictor.apply(
+            {"params": pred_params},
+            cur,
+            ctxt_positions,
+            tgt_positions,
+            0,
+            h_patches=hp,
+            w_patches=wp,
+        )
+        accum = jnp.concatenate([accum, x_pred], axis=1)
+        cur = jnp.concatenate([cur[:, n_pred:, :], x_pred], axis=1)
+    return accum

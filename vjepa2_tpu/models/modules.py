@@ -174,6 +174,7 @@ class Attention(nn.Module):
     use_rope: bool = False
     is_causal: bool = False
     grid_size: Optional[int] = None
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
     proj_init_scale: float = 1.0
@@ -194,7 +195,7 @@ class Attention(nn.Module):
                 w_ids = w_ids * (self.grid_size / w_patches)
             q, k = _rope_rotate_qk(q, k, d_ids, h_ids, w_ids)
 
-        out = sdpa(q, k, v, attn_mask=attn_mask, is_causal=self.is_causal)
+        out = sdpa(q, k, v, attn_mask=attn_mask, is_causal=self.is_causal, use_flash=self.use_flash)
         out = out.reshape(B, N, C)
         return nn.Dense(
             self.dim,
@@ -277,6 +278,7 @@ class Block(nn.Module):
     wide_silu: bool = True
     is_causal: bool = False
     grid_size: Optional[int] = None
+    use_flash: bool = False
     layer_id: int = 0  # 0-based; residual rescale uses 1/sqrt(2*(layer_id+1))
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
@@ -292,6 +294,7 @@ class Block(nn.Module):
             use_rope=self.use_rope,
             is_causal=self.is_causal,
             grid_size=self.grid_size,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             init_std=self.init_std,
             proj_init_scale=rescale,

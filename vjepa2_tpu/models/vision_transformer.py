@@ -42,6 +42,7 @@ class VisionTransformer(nn.Module):
     wide_silu: bool = True
     use_rope: bool = False
     use_activation_checkpointing: bool = False
+    use_flash: bool = False  # Pallas attention (forward-only; inference paths)
     out_layers: Optional[Sequence[int]] = None
     handle_nonsquare_inputs: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -152,6 +153,7 @@ class VisionTransformer(nn.Module):
                 use_rope=self.use_rope,
                 use_silu=self.use_silu,
                 wide_silu=self.wide_silu,
+                use_flash=self.use_flash,
                 layer_id=i,
                 dtype=self.dtype,
                 init_std=self.init_std,

@@ -143,15 +143,18 @@ def init_droid_params(encoder, predictor, seed: int, clip_shape, action_dim: int
     B, T = clip_shape[0], clip_shape[1]
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     frames = jnp.zeros((B * T, 2) + tuple(clip_shape[2:]), jnp.float32)
-    enc_vars = encoder.init(k1, frames)
-    h = encoder.apply(enc_vars, frames)
+    # jit init (eager op-by-op dispatch is slow on remote-tunnel platforms)
+    enc_vars = jax.jit(lambda k: encoder.init(k, frames))(k1)
+    h = jax.jit(lambda v: encoder.apply(v, frames))(enc_vars)
     tpf = h.shape[1]
     h_full = h.reshape(B, T * tpf, h.shape[2])
-    pred_vars = predictor.init(
-        k2,
-        h_full[:, :-tpf],
-        jnp.zeros((B, T - 1, action_dim), jnp.float32),
-        jnp.zeros((B, T - 1, action_dim), jnp.float32),
-    )
+    pred_vars = jax.jit(
+        lambda k: predictor.init(
+            k,
+            h_full[:, :-tpf],
+            jnp.zeros((B, T - 1, action_dim), jnp.float32),
+            jnp.zeros((B, T - 1, action_dim), jnp.float32),
+        )
+    )(k2)
     params = {"predictor": pred_vars["params"]}
     return params, enc_vars["params"], tpf

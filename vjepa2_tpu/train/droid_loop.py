@@ -1,0 +1,171 @@
+"""DROID AC post-training driver (reference `app/vjepa_droid/train.py:main`).
+
+Loads a pretrained V-JEPA 2 encoder (converted torch ckpt or our own
+params), freezes it as the target, and trains the AC predictor with the
+teacher-forcing + rollout objective under the WSD schedule.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vjepa2_tpu.core.checkpoint import CheckpointManager
+from vjepa2_tpu.core.config import PretrainConfig
+from vjepa2_tpu.core.logging import AverageMeter, CSVLogger, get_logger
+from vjepa2_tpu.core.mesh import MeshConfig, make_mesh
+from vjepa2_tpu.data.droid import DROIDVideoDataset, droid_collate
+from vjepa2_tpu.data.loader import DataLoader
+from vjepa2_tpu.data.samplers import DistributedSampler
+from vjepa2_tpu.data.transforms import VideoTransform
+from vjepa2_tpu.data.video import synthetic_clip
+from vjepa2_tpu.models.ac_predictor import vit_ac_predictor
+from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
+from vjepa2_tpu.train.droid import (
+    DroidHParams,
+    init_droid_params,
+    make_droid_optimizer,
+    make_droid_train_step,
+)
+from vjepa2_tpu.train.state import TrainState
+
+logger = get_logger(__name__)
+
+
+class SyntheticDroidLoader:
+    def __init__(self, batch_size: int, fpc: int, crop_size: int, ipe: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        clip = synthetic_clip(fpc, crop_size, crop_size, seed).astype(np.float32) / 255.0
+        self.clips = np.stack([clip] * batch_size)
+        self.actions = rng.normal(size=(batch_size, fpc - 1, 7)).astype(np.float32) * 0.05
+        self.states = rng.normal(size=(batch_size, fpc, 7)).astype(np.float32)
+        self.extr = rng.normal(size=(batch_size, fpc, 6)).astype(np.float32)
+        self.ipe = ipe
+
+    def __iter__(self):
+        for _ in range(self.ipe):
+            yield self.clips, self.actions, self.states, self.extr
+
+
+@dataclass
+class DroidTrainer:
+    cfg: PretrainConfig
+    enc_params: Optional[object] = None  # pretrained encoder params (converted)
+    synthetic_data: bool = False
+    frames_per_clip: int = 8
+
+    def __post_init__(self):
+        c = self.cfg
+        self.dtype = jnp.bfloat16 if c.meta.dtype in ("bfloat16", "bf16") else jnp.float32
+        self.mesh = make_mesh(MeshConfig(c.mesh.data, c.mesh.fsdp, c.mesh.model))
+        self.encoder = MODEL_REGISTRY[c.model.model_name](
+            img_size=(c.data.crop_size, c.data.crop_size),
+            num_frames=2,
+            tubelet_size=c.data.tubelet_size,
+            uniform_power=c.model.uniform_power,
+            use_rope=c.model.use_rope,
+            dtype=self.dtype,
+        )
+        self.predictor = vit_ac_predictor(
+            img_size=(c.data.crop_size, c.data.crop_size),
+            patch_size=c.data.patch_size,
+            num_frames=c.model.max_num_frames,
+            tubelet_size=c.data.tubelet_size,
+            embed_dim=self.encoder.embed_dim,
+            predictor_embed_dim=c.model.pred_embed_dim,
+            depth=c.model.pred_depth,
+            num_heads=c.model.pred_num_heads or 16,
+            use_extrinsics=c.model.use_extrinsics,
+            dtype=self.dtype,
+        )
+        o = c.optimization
+        ipe = o.ipe or 100
+        total = int(o.ipe_scale * o.epochs * ipe)
+        self.hp = DroidHParams(
+            lr=o.lr,
+            start_lr=o.start_lr,
+            final_lr=o.final_lr,
+            warmup_steps=int(o.warmup * ipe),
+            anneal_steps=int((o.anneal or 1) * ipe),
+            total_steps=total,
+            wd=o.weight_decay,
+            final_wd=o.final_weight_decay,
+            loss_exp=c.loss.loss_exp,
+            auto_steps=c.loss.auto_steps,
+            normalize_reps=c.loss.normalize_reps,
+        )
+        self.ipe = ipe
+        self.tx = make_droid_optimizer(self.hp)
+        os.makedirs(c.folder, exist_ok=True)
+        self.ckpt = CheckpointManager(os.path.join(c.folder, "ckpt"))
+
+    def make_loader(self):
+        c = self.cfg
+        if self.synthetic_data or not c.data.datasets:
+            return SyntheticDroidLoader(
+                c.data.batch_size, self.frames_per_clip, c.data.crop_size, self.ipe, c.meta.seed
+            )
+        ds = DROIDVideoDataset(
+            c.data.datasets[0],
+            frames_per_clip=self.frames_per_clip * 2,  # pre-frameskip
+            fps=c.data.fps,
+            transform=VideoTransform(crop_size=c.data.crop_size),
+            seed=c.meta.seed,
+        )
+        sampler = DistributedSampler(len(ds), jax.process_count(), jax.process_index(), seed=c.meta.seed)
+        return DataLoader(
+            ds, sampler, batch_size=c.data.batch_size, num_workers=c.data.num_workers,
+            collate_fn=droid_collate, epoch_len=self.ipe,
+        )
+
+    def run(self, epochs: Optional[int] = None, log_every: int = 10) -> dict:
+        c = self.cfg
+        epochs = epochs if epochs is not None else c.optimization.epochs
+        B, T, S = c.data.batch_size, self.frames_per_clip, c.data.crop_size
+        params, enc_params, tpf = init_droid_params(
+            self.encoder, self.predictor, c.meta.seed, (B, T, S, S, 3)
+        )
+        if self.enc_params is not None:
+            enc_params = self.enc_params
+        state = TrainState(
+            step=jnp.zeros([], jnp.int32), params=params, target_params=enc_params,
+            opt_state=self.tx.init(params),
+        )
+        if self.ckpt.latest_step() is not None and c.meta.load_checkpoint:
+            state = self.ckpt.restore(state)
+        step_fn = jax.jit(
+            make_droid_train_step(self.encoder, self.predictor, self.tx, self.hp, tpf),
+            donate_argnums=(0,),
+        )
+        csv = CSVLogger(
+            os.path.join(c.folder, f"droid_log_r{jax.process_index()}.csv"),
+            ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"), ("%.2f", "iter_ms"),
+        )
+        last = float("nan")
+        start_epoch = int(state.step) // self.ipe
+        for epoch in range(start_epoch, epochs):
+            meter = AverageMeter()
+            for itr, batch in enumerate(self.make_loader()):
+                clips, actions, states_p, extr = batch
+                t0 = time.perf_counter()
+                e = jnp.asarray(extr) if self.cfg.model.use_extrinsics else None
+                state, m = step_fn(
+                    state, jnp.asarray(clips, jnp.float32), jnp.asarray(actions),
+                    jnp.asarray(states_p), e,
+                )
+                loss = float(m["loss"])
+                assert np.isfinite(loss)
+                dt = (time.perf_counter() - t0) * 1e3
+                meter.update(loss)
+                csv.log(epoch, itr, loss, dt)
+                if itr % log_every == 0:
+                    logger.info("droid epoch %d itr %d loss %.4f", epoch, itr, loss)
+            last = meter.avg
+            self.ckpt.save(int(state.step), state, wait=True)
+        return {"loss": last, "step": int(state.step)}
