@@ -1,0 +1,85 @@
+"""Mesh/sharding tests: FSDP + tensor-parallel rules on the virtual 8-dev mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjepa2_tpu.core.mesh import MeshConfig, make_mesh, param_spec
+from vjepa2_tpu.masks.multiblock3d import MaskCollator
+from vjepa2_tpu.train.pretrain import (
+    PretrainHParams,
+    build_models,
+    init_params,
+    jit_train_step,
+    make_optimizer,
+    make_train_step,
+    shard_state,
+)
+from vjepa2_tpu.train.state import TrainState
+
+
+class _K:
+    def __init__(self, key):
+        self.key = key
+
+
+def _spec(path_str, shape):
+    path = tuple(_K(p) for p in path_str.split("/"))
+    return param_spec(path, np.zeros(shape))
+
+
+def test_param_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    assert _spec("blocks_0/attn/qkv/kernel", (64, 192)) == P("fsdp", "model")
+    assert _spec("blocks_0/attn/proj/kernel", (64, 64)) == P("model", "fsdp")
+    assert _spec("blocks_0/mlp/fc1/kernel", (64, 256)) == P("fsdp", "model")
+    assert _spec("blocks_0/mlp/fc2/kernel", (256, 64)) == P("model", "fsdp")  # Mlp out
+    assert _spec("blocks_0/mlp/fc2/kernel", (64, 256)) == P("fsdp", "model")  # SwiGLU value
+    assert _spec("blocks_0/mlp/fc3/kernel", (256, 64)) == P("model", "fsdp")  # SwiGLU out
+    assert _spec("norm/LayerNorm_0/scale", (64,)) == P()
+    # conv kernel: largest-dim fsdp
+    s = _spec("patch_embed/proj/kernel", (2, 16, 16, 3, 64))
+    assert "model" not in jax.tree_util.tree_leaves(s)
+
+
+def test_mesh_resolve():
+    cfg = MeshConfig(data=-1, fsdp=2, model=2)
+    assert cfg.resolve(8) == (2, 2, 2)
+    with pytest.raises(AssertionError):
+        MeshConfig(data=3, fsdp=2, model=2).resolve(8)
+
+
+def test_train_step_with_tensor_parallel():
+    """Full pretrain step over a data=2 x fsdp=2 x model=2 mesh."""
+    B, T, S = 4, 4, 32
+    encoder, predictor = build_models(
+        model_name="vit_tiny", crop_size=S, num_frames=T, tubelet_size=2,
+        pred_depth=1, pred_embed_dim=64, pred_num_heads=2, use_rope=True,
+        dtype=jnp.float32,
+    )
+    coll = MaskCollator(
+        [{"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+          "aspect_ratio": (0.75, 1.5), "num_blocks": 2}],
+        dataset_fpcs=[T], crop_size=(S, S),
+    )
+    coll.step()
+    me, mp = coll(T, B)
+    hp = PretrainHParams(epochs=1, ipe=10, warmup_epochs=0)
+    tx = make_optimizer(hp)
+    params, target = init_params(
+        encoder, predictor, 0, (B, T, S, S, 3), jnp.asarray(me[0]), jnp.asarray(mp[0])
+    )
+    state = TrainState.create(params, target, tx)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, model=2))
+    state = shard_state(state, mesh)
+    step = jit_train_step(make_train_step(encoder, predictor, tx, hp), mesh)
+    clips = jnp.asarray(np.random.RandomState(0).rand(B, T, S, S, 3), jnp.float32)
+    state, metrics = step(
+        state, clips, tuple(jnp.asarray(m) for m in me), tuple(jnp.asarray(m) for m in mp)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # a qkv kernel is actually sharded over both fsdp and model axes
+    leaf = state.params["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert len(leaf.sharding.device_set) == 8 or leaf.sharding.is_fully_replicated is False

@@ -82,3 +82,21 @@ def test_less_repeat_cycles_permutations():
 def test_integer_weights_required_when_not_shuffling():
     with pytest.raises(ValueError):
         MemoryEfficientDistributedWeightedSampler([10], [0.5], 1, 0, shuffle=False)
+
+
+def test_fpc_bucket_sampler():
+    from vjepa2_tpu.data.loader import FpcBucketSampler
+
+    # indices 0-49 have fpc 16, 50-99 have fpc 8
+    fpc_of = lambda i: 16 if i < 50 else 8
+    src = list(range(100))
+    np.random.RandomState(0).shuffle(src)
+    bs = FpcBucketSampler(src, fpc_of, batch_size=4)
+    batches = list(bs)
+    assert all(len(b) == 4 for b in batches)
+    for b in batches:
+        fpcs = {fpc_of(i) for i in b}
+        assert len(fpcs) == 1, f"mixed-fpc batch {b}"
+    # everything except incomplete tails is emitted
+    total = sum(len(b) for b in batches)
+    assert total >= 96

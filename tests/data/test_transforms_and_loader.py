@@ -135,3 +135,32 @@ def test_dataset_fps_resolution(video_manifest):
     # source fps 16, want 8 -> frame step 2
     steps = np.diff(ci[0])
     assert (steps >= 1).all() and steps.mean() >= 1.5
+
+
+def test_rand_augment_and_erase():
+    from vjepa2_tpu.data.augment import RandAugment, RandomErasing
+
+    clip = synthetic_clip(4, 48, 48)
+    ra = RandAugment.from_config("rand-m7-n4-mstd0.5")
+    assert ra.num_layers == 4 and ra.magnitude == 7.0
+    out = ra(clip, rng=np.random.default_rng(0))
+    assert out.shape == clip.shape and out.dtype == np.uint8
+    # temporal consistency: same op applied to identical frames -> same result
+    same = np.repeat(clip[:1], 4, axis=0)
+    out2 = ra(same, rng=np.random.default_rng(1))
+    assert np.array_equal(out2[0], out2[3])
+
+    re_ = RandomErasing(probability=1.0)
+    erased = re_(clip.astype(np.float32), rng=np.random.default_rng(0))
+    assert (erased != clip).any()
+    # same box across frames
+    changed = (erased != clip.astype(np.float32)).any(axis=-1)
+    assert np.array_equal(changed[0], changed[1])
+
+
+def test_video_transform_with_aug():
+    clip = synthetic_clip(4, 72, 96)
+    t = VideoTransform(crop_size=32, auto_augment=True, rand_erase_prob=1.0)
+    out = t(clip, rng=np.random.default_rng(0))
+    assert out.shape == (4, 32, 32, 3)
+    assert out.dtype == np.float32

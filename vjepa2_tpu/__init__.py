@@ -27,3 +27,11 @@ if _os.environ.get("VJEPA2_TPU_PRNG", "rbg") == "rbg":
     # vs 10s for a 12-block ViT init). rbg is the TPU-native generator;
     # seeds still give reproducible runs. Opt out: VJEPA2_TPU_PRNG=threefry.
     _jax.config.update("jax_default_prng_impl", "rbg")
+
+_cache_dir = _os.environ.get("VJEPA2_TPU_COMPILE_CACHE", _os.path.expanduser("~/.jax_cache"))
+if _cache_dir and _cache_dir != "off":
+    # Persistent compilation cache: big-program compiles through remote
+    # device tunnels take minutes; cache them across processes.
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -1,0 +1,182 @@
+"""Frozen-eval launcher (reference `evals/main.py` + `evals/scaffold.py`).
+
+Config layout mirrors the reference eval YAMLs: ``eval_name``,
+``experiment.{classifier,data,optimization}``, ``model_kwargs``. The probe
+grid (``multihead_kwargs``) trains as one vmapped program.
+
+Usage:
+  python -m vjepa2_tpu.cli.eval --fname configs/eval/vitl/ssv2.yaml \
+      [--checkpoint /path/to/torch_or_orbax_ckpt] [--synthetic-data]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from vjepa2_tpu.core.logging import get_logger
+from vjepa2_tpu.evals.probes import ProbeConfig
+from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
+
+logger = get_logger(__name__, force=True)
+
+
+def probe_configs_from_multihead(multihead_kwargs, ipe: int) -> list[ProbeConfig]:
+    out = []
+    for g in multihead_kwargs:
+        out.append(
+            ProbeConfig(
+                lr=float(g.get("lr", g.get("ref_lr", 1e-3))),
+                start_lr=float(g.get("start_lr", g.get("lr", 1e-3))),
+                final_lr=float(g.get("final_lr", 0.0)),
+                weight_decay=float(g.get("weight_decay", g.get("ref_wd", 0.0))),
+                warmup_steps=int(float(g.get("warmup", 0.0)) * ipe),
+            )
+        )
+    return out
+
+
+class SyntheticEvalLoader:
+    """Class-dependent synthetic clips so probes have signal to learn."""
+
+    def __init__(self, batch_size, num_clips, fpc, crop, num_classes, batches, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.shape = (batch_size, num_clips, fpc, crop, crop, 3)
+        self.num_classes = num_classes
+        self.batches = batches
+        self.fpc = fpc
+
+    def __iter__(self):
+        for _ in range(self.batches):
+            labels = self.rng.integers(0, self.num_classes, size=self.shape[0])
+            clips = self.rng.normal(size=self.shape).astype(np.float32) * 0.1
+            clips += labels[:, None, None, None, None, None] / self.num_classes
+            ci = np.tile(np.arange(self.fpc), (self.shape[0], self.shape[1], 1))
+            yield clips, labels, ci
+
+
+def build_encoder(model_kwargs: dict, resolution: int, fpc: int, checkpoint=None, dtype=jnp.bfloat16):
+    pk = model_kwargs.get("pretrain_kwargs", {}) or {}
+    model_name = pk.get("model_name", model_kwargs.get("model_name", "vit_large"))
+    enc = MODEL_REGISTRY[model_name](
+        img_size=(resolution, resolution),
+        num_frames=fpc,
+        tubelet_size=pk.get("tubelet_size", 2),
+        uniform_power=pk.get("uniform_power", True),
+        use_rope=pk.get("use_rope", True),
+        dtype=dtype,
+    )
+    params = None
+    if checkpoint:
+        if checkpoint.endswith(".pt"):
+            from vjepa2_tpu.hub.converter import convert_encoder, load_torch_checkpoint
+
+            ckpt = load_torch_checkpoint(checkpoint)
+            sd = ckpt.get("target_encoder", ckpt.get("encoder", ckpt))
+            params = convert_encoder(sd)
+        else:
+            from vjepa2_tpu.core.checkpoint import load_params
+
+            params = load_params(checkpoint)
+    return enc, params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--fname", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--val-only", action="store_true")
+    args = p.parse_args(argv)
+
+    with open(args.fname) as f:
+        cfg = yaml.safe_load(f)
+    exp = cfg["experiment"]
+    data_c = exp["data"]
+    opt_c = exp["optimization"]
+    cls_c = exp.get("classifier", {})
+    mdl_c = cfg.get("model_kwargs", {})
+
+    fpc = int(data_c.get("frames_per_clip", 16))
+    res = int(data_c.get("resolution", 256))
+    num_classes = int(data_c.get("num_classes", 174))
+    num_clips = int(data_c.get("num_segments", 1))
+    batch_size = int(opt_c.get("batch_size", 4))
+    epochs = args.epochs or int(opt_c.get("num_epochs", 1))
+
+    ckpt = args.checkpoint or mdl_c.get("checkpoint")
+    encoder, enc_params = build_encoder(mdl_c, res, fpc, ckpt)
+    if enc_params is None:
+        import jax
+
+        logger.warning("no checkpoint given: using randomly-initialized encoder")
+        dummy = jnp.zeros((1, fpc, res, res, 3), jnp.float32)
+        enc_params = jax.jit(encoder.init)(jax.random.PRNGKey(0), dummy)["params"]
+
+    ipe = int(opt_c.get("ipe", 100))
+    probes = probe_configs_from_multihead(opt_c.get("multihead_kwargs", [{}]), ipe)
+
+    from vjepa2_tpu.evals.video_classification import VideoClassificationEval
+
+    ev = VideoClassificationEval(
+        encoder=encoder,
+        enc_params=enc_params,
+        num_classes=num_classes,
+        probe_configs=probes,
+        num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
+        probe_depth=int(cls_c.get("num_probe_blocks", 1)),
+        total_steps=epochs * ipe,
+    )
+
+    if args.synthetic_data or "dataset_train" not in data_c:
+        train_loader = SyntheticEvalLoader(batch_size, num_clips, fpc, res, num_classes, ipe)
+        val_loader = SyntheticEvalLoader(batch_size, num_clips, fpc, res, num_classes, max(1, ipe // 4), seed=1)
+    else:
+        from vjepa2_tpu.data.loader import DataLoader
+        from vjepa2_tpu.data.samplers import DistributedSampler
+        from vjepa2_tpu.data.transforms import VideoTransform
+        from vjepa2_tpu.data.video_dataset import VideoDataset
+
+        def make(path, train):
+            ds = VideoDataset(
+                data_paths=[path],
+                frames_per_clip=fpc,
+                frame_step=data_c.get("frame_step", 4),
+                fps=None,
+                num_clips=num_clips,
+                transform=VideoTransform(crop_size=res, horizontal_flip=train),
+            )
+            import jax
+
+            sampler = DistributedSampler(
+                len(ds), jax.process_count(), jax.process_index(), shuffle=train
+            )
+
+            def collate(samples):
+                clips = np.stack([np.stack(s[0]) for s in samples])  # [B, nc, T, S, S, 3]
+                labels = np.asarray([s[1] for s in samples])
+                ci = np.stack([np.stack([np.asarray(c) for c in s[2]]) for s in samples])
+                return clips, labels, ci
+
+            return DataLoader(ds, sampler, batch_size, num_workers=data_c.get("num_workers", 4),
+                              collate_fn=collate, epoch_len=ipe if train else None)
+
+        train_loader = make(data_c["dataset_train"], True)
+        val_loader = make(data_c["dataset_val"], False)
+
+    result = ev.run(train_loader, val_loader, epochs=0 if args.val_only else epochs)
+    logger.info(
+        "top-1 %.4f (probe %d of %d); per-probe: %s",
+        result["top1"], result["best_probe"], len(probes),
+        np.round(result["top1_per_probe"], 4),
+    )
+    print({"top1": result["top1"], "best_probe": result["best_probe"]})
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -56,17 +56,41 @@ def batch_spec() -> P:
     return P(("data", "fsdp"))
 
 
-def param_spec(path: tuple, value) -> P:
-    """FSDP rule: shard the largest divisible dim of >=2D params over 'fsdp'.
+def _path_str(path: tuple) -> str:
+    parts = []
+    for p in path:
+        parts.append(getattr(p, "key", getattr(p, "name", str(p))))
+    return "/".join(str(x) for x in parts)
 
-    Scalars / vectors (biases, LayerNorm) stay replicated. The 'model' axis is
-    left for explicit tensor-parallel rules (attention qkv/proj, mlp hidden)
-    applied by name; for round-1 DP/FSDP it is size 1.
+
+def param_spec(path: tuple, value) -> P:
+    """Sharding rules over the ('fsdp', 'model') axes.
+
+    * 'fsdp': ZeRO-3-style parameter sharding — largest dim of >=2D params.
+    * 'model': Megatron-style tensor parallel for transformer matmuls —
+      column-parallel qkv / mlp-in (output dim on 'model'), row-parallel
+      attn-proj / mlp-out (input dim on 'model'). XLA/GSPMD inserts the
+      all-reduce after row-parallel layers. Biases/LayerNorms replicated
+      (GSPMD reshards as needed).
+
+    With mesh model=1 these all degrade to the pure FSDP rule.
     """
     shape = value.shape
     if len(shape) < 2:
         return P()
-    # shard the largest dim over fsdp
+    name = _path_str(path)
+    if len(shape) == 2:
+        d_in, d_out = shape
+        is_qkv = "qkv/kernel" in name or name.endswith("kv/kernel")
+        col_parallel = is_qkv or ("mlp/fc1" in name) or (d_out > d_in and "mlp" in name)
+        row_parallel = ("attn/proj" in name) or ("mlp/fc3" in name) or (
+            "mlp/fc2" in name and d_out < d_in
+        )
+        if col_parallel:
+            return P("fsdp", "model")
+        if row_parallel:
+            return P("model", "fsdp")
+    # default FSDP: shard the largest dim
     axis = int(np.argmax(shape))
     spec = [None] * len(shape)
     spec[axis] = "fsdp"

@@ -34,6 +34,34 @@ def default_collate(samples):
     return clips, labels, clip_indices
 
 
+class FpcBucketSampler:
+    """Wraps an index sampler so every emitted batch has ONE frames-per-clip.
+
+    The reference's MaskCollator splits a mixed batch into per-fpc
+    sub-batches of different sequence lengths inside one step
+    (`src/masks/multiseq_multiblock3d.py:57-74`); under jit one shape = one
+    program, so we instead bucket *upstream*: indices accumulate per fpc and
+    a batch is released when its bucket fills. Statistically equivalent for
+    weighted infinite samplers (each step still draws one fpc's batch with
+    probability proportional to its sampling mass).
+    """
+
+    def __init__(self, sampler, fpc_of_index, batch_size: int):
+        self.sampler = sampler
+        self.fpc_of_index = fpc_of_index
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        buckets: dict[int, list[int]] = {}
+        for idx in self.sampler:
+            fpc = self.fpc_of_index(idx)
+            b = buckets.setdefault(fpc, [])
+            b.append(idx)
+            if len(b) == self.batch_size:
+                yield list(b)
+                b.clear()
+
+
 def _worker_loop(dataset, index_queue, result_queue, seed):
     np.random.seed(seed)
     while True:
@@ -61,6 +89,7 @@ class DataLoader:
         prefetch_factor: int = 2,
         seed: int = 0,
         epoch_len: Optional[int] = None,
+        batch_sampler: Optional[Iterable[list[int]]] = None,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -72,8 +101,16 @@ class DataLoader:
         self.prefetch_factor = prefetch_factor
         self.seed = seed
         self.epoch_len = epoch_len
+        self.batch_sampler = batch_sampler
 
     def _batched_indices(self) -> Iterator[list[int]]:
+        if self.batch_sampler is not None:
+            it = iter(self.batch_sampler)
+            for n, batch in enumerate(it):
+                if self.epoch_len is not None and n >= self.epoch_len:
+                    return
+                yield batch
+            return
         it = iter(self.sampler)
         n = 0
         while True:

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from vjepa2_tpu.data.loader import DataLoader
+from vjepa2_tpu.data.loader import DataLoader, FpcBucketSampler
 from vjepa2_tpu.data.samplers import (
     DistributedSampler,
     DistributedWeightedSampler,
@@ -55,6 +55,11 @@ def init_video_data(
         )
     else:
         sampler = DistributedSampler(len(dataset), world_size, rank, seed=seed)
+    batch_sampler = None
+    if dataset_fpcs is not None and len(set(dataset_fpcs)) > 1:
+        # mixed frames-per-clip: one fpc per emitted batch (one compiled
+        # program per bucket under jit)
+        batch_sampler = FpcBucketSampler(sampler, dataset.fpc_for_index, batch_size)
     loader = DataLoader(
         dataset,
         sampler,
@@ -64,5 +69,6 @@ def init_video_data(
         ordered=ordered,
         seed=seed,
         epoch_len=ipe,
+        batch_sampler=batch_sampler,
     )
     return dataset, loader, sampler

@@ -90,6 +90,9 @@ class VideoTransform:
     std: np.ndarray = None
     use_native: Optional[bool] = None
     native_threads: int = 4
+    auto_augment: bool = False
+    aa_config: str = "rand-m7-n4-mstd0.5"
+    rand_erase_prob: float = 0.0
 
     def __post_init__(self):
         self.mean = IMAGENET_MEAN if self.mean is None else np.asarray(self.mean, np.float32)
@@ -98,6 +101,16 @@ class VideoTransform:
             from vjepa2_tpu.data import native
 
             self.use_native = self.normalize and native.available()
+        self._rand_augment = None
+        self._rand_erase = None
+        if self.auto_augment:
+            from vjepa2_tpu.data.augment import RandAugment
+
+            self._rand_augment = RandAugment.from_config(self.aa_config)
+        if self.rand_erase_prob > 0:
+            from vjepa2_tpu.data.augment import RandomErasing
+
+            self._rand_erase = RandomErasing(probability=self.rand_erase_prob)
 
     def _native_call(self, clip, boxes, hflip):
         from vjepa2_tpu.data import native
@@ -111,6 +124,8 @@ class VideoTransform:
     def __call__(self, clip: np.ndarray, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """clip: [T, H, W, C] uint8 -> [T, S, S, C] float32 normalized."""
         rng = rng or np.random.default_rng()
+        if self._rand_augment is not None and clip.dtype == np.uint8:
+            clip = self._rand_augment(clip, rng=rng)
         T, H, W, C = clip.shape
         top, left, h, w = _sample_crop_box(H, W, self.random_resize_scale, self.random_resize_aspect_ratio, rng)
 
@@ -128,7 +143,10 @@ class VideoTransform:
                 )
             else:
                 boxes = tuple(np.full(T, v, np.int32) for v in (top, left, h, w))
-            return self._native_call(clip, boxes, flip)
+            out = self._native_call(clip, boxes, flip)
+            if self._rand_erase is not None:
+                out = self._rand_erase(out, rng=rng)
+            return out
 
         if self.motion_shift:
             # Independent end-box; crop box interpolated across time
@@ -156,7 +174,10 @@ class VideoTransform:
         out = out.astype(np.float32) / 255.0
         if self.normalize:
             out = (out - self.mean) / self.std
-        return np.ascontiguousarray(out)
+        out = np.ascontiguousarray(out)
+        if self._rand_erase is not None:
+            out = self._rand_erase(out, rng=rng)
+        return out
 
 
 @dataclass

@@ -138,6 +138,8 @@ class Pretrainer:
             random_resize_aspect_ratio=tuple(aug.random_resize_aspect_ratio),
             horizontal_flip=aug.horizontal_flip,
             motion_shift=aug.motion_shift,
+            auto_augment=aug.auto_augment,
+            rand_erase_prob=aug.reprob,
         )
         _, loader, _ = init_video_data(
             data_paths=c.data.datasets,
