@@ -84,12 +84,13 @@ def bench_encode(args):
         return out.astype(jnp.float32).mean() * 1e-30
 
     carry = step(params, clips, jnp.bfloat16(0.0))
-    carry.block_until_ready()  # compile
+    float(carry)  # compile + force execution (block_until_ready may be lazy
+    # on remote-tunnel platforms; a value fetch is the only reliable sync)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         carry = step(params, clips, carry.astype(jnp.bfloat16))
-    carry.block_until_ready()
+    float(carry)
     dt = (time.perf_counter() - t0) / args.steps
     clips_per_sec = B / dt
 

@@ -164,3 +164,35 @@ def test_video_transform_with_aug():
     out = t(clip, rng=np.random.default_rng(0))
     assert out.shape == (4, 32, 32, 3)
     assert out.dtype == np.float32
+
+
+def test_epickitchens_anticipation(video_manifest, tmp_path):
+    import pandas as pd
+    from vjepa2_tpu.data.epickitchens import (
+        EpicKitchensAnticipation,
+        anticipation_collate,
+        build_action_label_space,
+    )
+
+    _, paths = video_manifest
+    df = pd.DataFrame(
+        {
+            "video_path": [paths[0], paths[1], paths[2]],
+            "start_sec": [1.5, 1.2, 2.0],
+            "stop_sec": [2.2, 2.0, 2.4],
+            "verb": ["take", "put", "take"],
+            "noun": ["cup", "cup", "plate"],
+        }
+    )
+    csv = str(tmp_path / "annotations.csv")
+    df.to_csv(csv, index=False)
+    ds = EpicKitchensAnticipation(csv, frames_per_clip=4, frame_step=2,
+                                  transform=VideoTransform(crop_size=32))
+    assert len(ds) == 3
+    assert ds.num_verbs == 2 and ds.num_nouns == 2 and ds.num_actions == 3
+    s = ds[0]
+    assert s.clip.shape == (4, 32, 32, 3)
+    assert s.anticipation_time == 1.0
+    clips, at, v, n, a = anticipation_collate([ds[i] for i in range(3)])
+    assert clips.shape == (3, 4, 32, 32, 3) and at.shape == (3,)
+    assert set(a.tolist()) <= ds.valid_action_classes()

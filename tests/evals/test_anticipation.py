@@ -63,3 +63,39 @@ def test_anticipative_features():
     )
     n_pred = 4  # grid 2x2, one tubelet-frame
     assert feats.shape == (2, N + 2 * n_pred, 192)
+
+
+def test_anticipation_eval_runner():
+    from vjepa2_tpu.evals.action_anticipation import AnticipationEval
+
+    S, T = 32, 4
+    enc = vit_tiny(img_size=(S, S), num_frames=T, tubelet_size=2, use_rope=True)
+    pred = vit_predictor(
+        img_size=(S, S), num_frames=T, tubelet_size=2, embed_dim=192,
+        predictor_embed_dim=64, depth=1, num_heads=2, use_mask_tokens=True,
+        num_mask_tokens=1, use_rope=True,
+    )
+    clips = jnp.ones((2, T, S, S, 3))
+    ep = enc.init(jax.random.PRNGKey(0), clips)["params"]
+    x = enc.apply({"params": ep}, clips)
+    N = x.shape[1]
+    pp = pred.init(
+        jax.random.PRNGKey(1), x, jnp.zeros((2, N), jnp.int32), jnp.zeros((2, 4), jnp.int32), 0
+    )["params"]
+
+    ev = AnticipationEval(
+        enc, ep, pred, pp, num_verbs=3, num_nouns=4, num_actions=5,
+        frames_per_second=2.0, grid_size=2, h_patches=2, w_patches=2,
+        num_heads=4, lr=5e-3,
+    )
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 3, size=8)
+    clips_b = (np.ones((8, T, S, S, 3)) * labels[:, None, None, None, None] / 3).astype(np.float32)
+    at = np.ones(8, np.float32)
+    for _ in range(10):
+        loss = ev.train_batch(clips_b, at, labels, labels, labels)
+    assert np.isfinite(loss)
+    loader = [(clips_b, at, labels, labels, labels)]
+    out = ev.evaluate(loader, k=1)
+    assert set(out) == {"verb", "noun", "action"}
+    assert out["verb"]["recall"] > 50  # separable synthetic labels

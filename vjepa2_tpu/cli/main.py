@@ -51,7 +51,16 @@ def main(argv=None):
     p.add_argument("--app", default=None, help="override the config's app name")
     p.add_argument("--epochs", type=int, default=None, help="override epoch count")
     p.add_argument("--synthetic-data", action="store_true", help="run on synthetic clips")
+    p.add_argument("--coordinator", default=None, help="multi-host coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    from vjepa2_tpu.core.distributed import init_distributed
+
+    rank, world = init_distributed(args.coordinator, args.num_processes, args.process_id)
+    if world > 1:
+        logger.info("multi-host: process %d / %d", rank, world)
 
     with open(args.fname) as f:
         raw = yaml.safe_load(f)

@@ -62,8 +62,19 @@ class FpcBucketSampler:
                 b.clear()
 
 
-def _worker_loop(dataset, index_queue, result_queue, seed):
+def _worker_loop(dataset, index_queue, result_queue, seed, monitor_dir=None, worker_id=0):
     np.random.seed(seed)
+    if monitor_dir is not None:
+        # per-worker psutil sampling (reference `MonitoredDataset`,
+        # `src/datasets/utils/dataloader.py:68-141`)
+        try:
+            from vjepa2_tpu.core.monitoring import ResourceMonitoringThread
+
+            ResourceMonitoringThread(
+                f"{monitor_dir}/worker_{worker_id}.csv", interval=5.0
+            ).start()
+        except Exception:
+            pass
     while True:
         item = index_queue.get()
         if item is None:
@@ -90,6 +101,7 @@ class DataLoader:
         seed: int = 0,
         epoch_len: Optional[int] = None,
         batch_sampler: Optional[Iterable[list[int]]] = None,
+        monitor_dir: Optional[str] = None,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -102,6 +114,7 @@ class DataLoader:
         self.seed = seed
         self.epoch_len = epoch_len
         self.batch_sampler = batch_sampler
+        self.monitor_dir = monitor_dir
 
     def _batched_indices(self) -> Iterator[list[int]]:
         if self.batch_sampler is not None:
@@ -138,7 +151,7 @@ class DataLoader:
         workers = [
             ctx.Process(
                 target=_worker_loop,
-                args=(self.dataset, index_queue, result_queue, self.seed + w),
+                args=(self.dataset, index_queue, result_queue, self.seed + w, self.monitor_dir, w),
                 daemon=True,
             )
             for w in range(self.num_workers)

@@ -56,7 +56,7 @@ def init_video_data(
     else:
         sampler = DistributedSampler(len(dataset), world_size, rank, seed=seed)
     batch_sampler = None
-    if dataset_fpcs is not None and len(set(dataset_fpcs)) > 1:
+    if dataset_fpcs is not None and len(set(dataset_fpcs)) > 1:  # noqa: SIM108
         # mixed frames-per-clip: one fpc per emitted batch (one compiled
         # program per bucket under jit)
         batch_sampler = FpcBucketSampler(sampler, dataset.fpc_for_index, batch_size)
@@ -72,3 +72,44 @@ def init_video_data(
         batch_sampler=batch_sampler,
     )
     return dataset, loader, sampler
+
+
+def init_image_data(
+    root: str,
+    batch_size: int,
+    transform=None,
+    subset_file=None,
+    train: bool = True,
+    num_workers: int = 4,
+    world_size: int = 1,
+    rank: int = 0,
+    seed: int = 0,
+    ipe=None,
+):
+    """ImageNet-style folder data (reference `data_manager.py` 'imagenet' branch)."""
+    from vjepa2_tpu.data.imagenet import ImageFolder
+
+    dataset = ImageFolder(root, transform=transform, subset_file=subset_file, train=train)
+    sampler = DistributedSampler(len(dataset), world_size, rank, shuffle=train, seed=seed)
+
+    def collate(samples):
+        import numpy as np
+
+        imgs = np.stack([s[0] for s in samples])
+        labels = np.asarray([s[1] for s in samples])
+        return imgs, labels
+
+    loader = DataLoader(
+        dataset, sampler, batch_size=batch_size, num_workers=num_workers,
+        collate_fn=collate, epoch_len=ipe,
+    )
+    return dataset, loader, sampler
+
+
+def init_data(dataset_type: str = "VideoDataset", **kwargs):
+    """Dispatcher matching reference `init_data` (`data_manager.py:42-88`)."""
+    if dataset_type.lower() in ("videodataset", "video"):
+        return init_video_data(**kwargs)
+    if dataset_type.lower() in ("imagenet", "imagefolder"):
+        return init_image_data(**kwargs)
+    raise ValueError(f"unknown dataset_type {dataset_type}")

@@ -161,3 +161,121 @@ def anticipative_features(
         accum = jnp.concatenate([accum, x_pred], axis=1)
         cur = jnp.concatenate([cur[:, n_pred:, :], x_pred], axis=1)
     return accum
+
+
+class AnticipationEval:
+    """EK100 anticipation eval runner (reference
+    `evals/action_anticipation_frozen/eval.py`): trains the 3-head attentive
+    probe on frozen anticipative features with focal loss, reports mean-class
+    recall@5 for verb/noun/action."""
+
+    def __init__(
+        self,
+        encoder,
+        enc_params,
+        predictor,
+        pred_params,
+        num_verbs: int,
+        num_nouns: int,
+        num_actions: int,
+        frames_per_second: float,
+        lr: float = 1e-3,
+        weight_decay: float = 0.01,
+        num_heads: int = 12,
+        grid_size: int = 16,
+        h_patches: int | None = None,
+        w_patches: int | None = None,
+        num_output_frames: int = 2,
+        num_steps: int = 1,
+        use_focal: bool = True,
+        seed: int = 0,
+    ):
+        import functools
+
+        import optax
+
+        self.model = MultiHeadAttentiveClassifier(
+            embed_dim=encoder.embed_dim,
+            num_heads=num_heads,
+            num_verbs=num_verbs,
+            num_nouns=num_nouns,
+            num_actions=num_actions,
+        )
+        self.use_focal = use_focal
+        self._tx = optax.adamw(lr, weight_decay=weight_decay)
+        self._seed = seed
+        self._state = None
+
+        feat_fn = functools.partial(
+            anticipative_features,
+            encoder,
+            enc_params,
+            predictor,
+            pred_params,
+            frames_per_second=frames_per_second,
+            grid_size=grid_size,
+            h_patches=h_patches,
+            w_patches=w_patches,
+            num_output_frames=num_output_frames,
+            num_steps=num_steps,
+        )
+        self._features = jax.jit(lambda clips, at: jax.lax.stop_gradient(feat_fn(clips=clips, anticipation_times=at)))
+
+        def loss_fn(params, feats, verbs, nouns, actions):
+            lv, ln, la = self.model.apply({"params": params}, feats)
+            if self.use_focal:
+                return (
+                    sigmoid_focal_loss(lv, verbs)
+                    + sigmoid_focal_loss(ln, nouns)
+                    + sigmoid_focal_loss(la, actions)
+                )
+            import optax as _o
+
+            return (
+                _o.softmax_cross_entropy_with_integer_labels(lv, verbs).mean()
+                + _o.softmax_cross_entropy_with_integer_labels(ln, nouns).mean()
+                + _o.softmax_cross_entropy_with_integer_labels(la, actions).mean()
+            )
+
+        @jax.jit
+        def train_step(params, opt_state, feats, verbs, nouns, actions):
+            loss, grads = jax.value_and_grad(loss_fn)(params, feats, verbs, nouns, actions)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            import optax as _o
+
+            params = _o.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._train_step = train_step
+        self._logits = jax.jit(lambda p, f: self.model.apply({"params": p}, f))
+
+    def _ensure_state(self, feats):
+        if self._state is None:
+            params = self.model.init(jax.random.PRNGKey(self._seed), feats[:1])["params"]
+            self._state = (params, self._tx.init(params))
+
+    def train_batch(self, clips, anticipation_times, verbs, nouns, actions) -> float:
+        feats = self._features(jnp.asarray(clips, jnp.float32), jnp.asarray(anticipation_times))
+        self._ensure_state(feats)
+        params, opt = self._state
+        params, opt, loss = self._train_step(
+            params, opt, feats, jnp.asarray(verbs), jnp.asarray(nouns), jnp.asarray(actions)
+        )
+        self._state = (params, opt)
+        return float(loss)
+
+    def evaluate(self, loader, k: int = 5, valid_action_classes=None) -> dict:
+        params, _ = self._state
+        nv = self.model.num_verbs
+        metrics = {
+            "verb": ClassMeanRecall(self.model.num_verbs, k=k),
+            "noun": ClassMeanRecall(self.model.num_nouns, k=k),
+            "action": ClassMeanRecall(self.model.num_actions, k=k),
+        }
+        for clips, at, verbs, nouns, actions in loader:
+            feats = self._features(jnp.asarray(clips, jnp.float32), jnp.asarray(at))
+            lv, ln, la = self._logits(params, feats)
+            metrics["verb"].update(np.asarray(lv), verbs)
+            metrics["noun"].update(np.asarray(ln), nouns)
+            metrics["action"].update(np.asarray(la), actions, valid_classes=valid_action_classes)
+        return {name: m.compute() for name, m in metrics.items()}

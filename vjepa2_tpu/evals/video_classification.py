@@ -85,7 +85,26 @@ class VideoClassificationEval:
         correct = (jnp.argmax(logits_acc, -1) == jnp.asarray(labels)[None, :]).sum(-1)
         return np.asarray(correct)
 
-    def run(self, train_loader, val_loader, epochs: int = 1, num_views: int = 1) -> dict:
+    def save_probes(self, path: str) -> None:
+        """Checkpoint the probe grid (reference checkpoints probes,
+        `evals/video_classification_frozen/eval.py:225-238`)."""
+        from vjepa2_tpu.core.checkpoint import save_params
+
+        assert self._probe_state is not None
+        params, opt, step = self._probe_state
+        save_params(path, {"params": params, "step": step})
+
+    def restore_probes(self, path: str, feat_shape) -> None:
+        from vjepa2_tpu.core.checkpoint import load_params
+
+        if self._probe_state is None:
+            self.init_probes(feat_shape)
+        params, opt, step = self._probe_state
+        restored = load_params(path, {"params": params, "step": step})
+        self._probe_state = (restored["params"], opt, restored["step"])
+
+    def run(self, train_loader, val_loader, epochs: int = 1, num_views: int = 1,
+            probe_ckpt: str | None = None) -> dict:
         """Full loop. Loaders yield (clips [B, nc, T, H, W, C], labels, clip_indices)."""
         for epoch in range(epochs):
             meter = AverageMeter()
@@ -93,6 +112,8 @@ class VideoClassificationEval:
                 m = self.train_batch(clips, labels, ci)
                 meter.update(float(m["acc"].max()))
             logger.info("epoch %d train acc(max probe) %.4f", epoch, meter.avg)
+            if probe_ckpt is not None:
+                self.save_probes(probe_ckpt)
         total, correct = 0, None
         for clips, labels, ci in val_loader:
             c = self.eval_batch(clips, labels, ci, num_views=num_views)

@@ -26,6 +26,7 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vjepa2_tpu.ops.attention import sdpa
@@ -266,6 +267,17 @@ class ACAttention(nn.Module):
         )(out)
 
 
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Stochastic depth (reference `modules.py:53-64`): drop the residual
+    branch per sample with prob ``rate``."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, dtype=jnp.float32))
+    return (x / keep) * mask.astype(x.dtype)
+
+
 class Block(nn.Module):
     """Pre-norm transformer block (reference `modules.py:500-563`)."""
 
@@ -279,13 +291,24 @@ class Block(nn.Module):
     is_causal: bool = False
     grid_size: Optional[int] = None
     use_flash: bool = False
+    drop_path_rate: float = 0.0
     layer_id: int = 0  # 0-based; residual rescale uses 1/sqrt(2*(layer_id+1))
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
 
     @nn.compact
-    def __call__(self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None):
+    def __call__(
+        self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None, deterministic=True
+    ):
         rescale = 1.0 / math.sqrt(2.0 * (self.layer_id + 1))
+
+        def maybe_drop(y):
+            if self.drop_path_rate > 0.0 and not deterministic:
+                return drop_path(
+                    y, self.drop_path_rate, deterministic, self.make_rng("drop_path")
+                )
+            return y
+
         y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = Attention(
             dim=self.dim,
@@ -300,7 +323,7 @@ class Block(nn.Module):
             proj_init_scale=rescale,
             name="attn",
         )(y, pos_ids=pos_ids, attn_mask=attn_mask, h_patches=h_patches, w_patches=w_patches)
-        x = x + y
+        x = x + maybe_drop(y)
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         if self.use_silu:
@@ -320,7 +343,7 @@ class Block(nn.Module):
                 out_init_scale=rescale,
                 name="mlp",
             )(y)
-        return x + y
+        return x + maybe_drop(y)
 
 
 class ACBlock(nn.Module):

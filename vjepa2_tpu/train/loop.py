@@ -248,4 +248,15 @@ class Pretrainer:
                     )
             last_loss = loss_meter.avg
             self.ckpt.save(int(state.step), state, wait=True)
+            if (
+                self.cfg.meta.eval_freq
+                and (epoch + 1) % self.cfg.meta.eval_freq == 0
+                and self.online_eval is not None
+            ):
+                # online probe eval on the frozen EMA target (the reference
+                # spawns eval jobs at eval_freq, `app/vjepa/utils.py:25-87`)
+                metrics = self.online_eval(self.encoder, state.target_params, epoch)
+                logger.info("online eval @ epoch %d: %s", epoch, metrics)
         return {"loss": last_loss, "step": int(state.step)}
+
+    online_eval = None  # optional callable(encoder, target_params, epoch) -> dict
