@@ -64,3 +64,21 @@ def test_loop_runs_and_resumes(cfg):
     # mask collator fast-forwarded, not replayed from zero
     gen = next(iter(t2.collator.mask_generators.values()))[0]
     assert gen._step >= 6
+
+
+def test_multi_fpc_bucketed_steps(cfg):
+    """Two fpc buckets -> two compiled programs, both train."""
+    import jax.numpy as jnp
+    from vjepa2_tpu.masks.multiblock3d import MaskCollator
+
+    cfg.data.dataset_fpcs = [4, 8]
+    t = Pretrainer(cfg, synthetic_data=True)
+    assert sorted(t.collator.mask_generators) == [4, 8]
+    # step fns per fpc have distinct mask_index bases
+    t.collator.step()
+    for fpc in (4, 8):
+        me, mp = t.collator(fpc, 2)
+        assert me[0].shape[0] == 2
+    step4 = t._step_fn(4)
+    step8 = t._step_fn(8)
+    assert step4 is not step8

@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 
 from vjepa2_tpu.ops.attention import sdpa
-from vjepa2_tpu.ops.rope import rope_3d_dims, rope_angles, rotate_pairs, separate_positions
+from vjepa2_tpu.ops.rope import (
+    apply_rope_cache,
+    build_rope_cache,
+    rope_3d_dims,
+    rope_angles,
+    rotate_pairs,
+    separate_positions,
+)
 
 Dtype = jnp.dtype
 
@@ -181,20 +188,20 @@ class Attention(nn.Module):
     proj_init_scale: float = 1.0
 
     @nn.compact
-    def __call__(self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None):
+    def __call__(self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None,
+                 rope_cache=None):
         B, N, C = x.shape
         q, k, v = _qkv(x, self.dim, self.num_heads, self.qkv_bias, self.dtype, self.init_std)
 
         if self.use_rope:
-            assert pos_ids is not None and h_patches is not None and w_patches is not None
-            d_ids, h_ids, w_ids = separate_positions(pos_ids, h_patches, w_patches)
-            d_ids = d_ids.astype(jnp.float32)
-            h_ids = h_ids.astype(jnp.float32)
-            w_ids = w_ids.astype(jnp.float32)
-            if self.grid_size is not None:
-                h_ids = h_ids * (self.grid_size / h_patches)
-                w_ids = w_ids * (self.grid_size / w_patches)
-            q, k = _rope_rotate_qk(q, k, d_ids, h_ids, w_ids)
+            if rope_cache is None:
+                assert pos_ids is not None and h_patches is not None and w_patches is not None
+                rope_cache = build_rope_cache(
+                    pos_ids, self.dim // self.num_heads, h_patches, w_patches,
+                    grid_size=self.grid_size,
+                )
+            q = apply_rope_cache(q, rope_cache)
+            k = apply_rope_cache(k, rope_cache)
 
         out = sdpa(q, k, v, attn_mask=attn_mask, is_causal=self.is_causal, use_flash=self.use_flash)
         out = out.reshape(B, N, C)
@@ -298,7 +305,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None, deterministic=True
+        self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None, deterministic=True,
+        rope_cache=None,
     ):
         rescale = 1.0 / math.sqrt(2.0 * (self.layer_id + 1))
 
@@ -322,7 +330,8 @@ class Block(nn.Module):
             init_std=self.init_std,
             proj_init_scale=rescale,
             name="attn",
-        )(y, pos_ids=pos_ids, attn_mask=attn_mask, h_patches=h_patches, w_patches=w_patches)
+        )(y, pos_ids=pos_ids, attn_mask=attn_mask, h_patches=h_patches, w_patches=w_patches,
+          rope_cache=rope_cache)
         x = x + maybe_drop(y)
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)

@@ -131,6 +131,13 @@ class VisionTransformerPredictor(nn.Module):
             tokens = tokens[:, : -self.chop_last_n_tokens]
             positions_sorted = positions_sorted[:, : -self.chop_last_n_tokens]
 
+        rope_cache = None
+        if self.use_rope:
+            from vjepa2_tpu.ops.rope import build_rope_cache
+
+            rope_cache = build_rope_cache(
+                positions_sorted, P // self.num_heads, h_patches, w_patches
+            )
         block_cls = nn.remat(Block) if self.use_activation_checkpointing else Block
         for i in range(self.depth):
             tokens = block_cls(
@@ -145,7 +152,7 @@ class VisionTransformerPredictor(nn.Module):
                 dtype=self.dtype,
                 init_std=self.init_std,
                 name=f"predictor_blocks_{i}",
-            )(tokens, positions_sorted, None, h_patches, w_patches)
+            )(tokens, positions_sorted, None, h_patches, w_patches, True, rope_cache)
 
         tokens = LayerNorm(dtype=self.dtype, name="predictor_norm")(tokens)
 

@@ -25,6 +25,7 @@ from vjepa2_tpu.models.modules import Block, LayerNorm
 from vjepa2_tpu.models.patch_embed import PatchEmbed, PatchEmbed3D
 from vjepa2_tpu.models.pos_embs import get_2d_sincos_pos_embed, get_3d_sincos_pos_embed
 from vjepa2_tpu.ops.masking import apply_masks
+from vjepa2_tpu.ops.rope import build_rope_cache
 
 
 class VisionTransformer(nn.Module):
@@ -142,6 +143,13 @@ class VisionTransformer(nn.Module):
             # are arithmetic, so tracing them is safe.
             block_cls = nn.remat(Block)
 
+        rope_cache = None
+        if self.use_rope:
+            # one fused cos/sin table shared by every layer
+            rope_cache = build_rope_cache(
+                pos_ids, self.embed_dim // self.num_heads, h_patches, w_patches
+            )
+
         norm = LayerNorm(dtype=self.dtype, name="norm")  # shared across taps
         outs = []
         for i in range(self.depth):
@@ -158,7 +166,7 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 init_std=self.init_std,
                 name=f"blocks_{i}",
-            )(tokens, pos_ids, None, h_patches, w_patches)
+            )(tokens, pos_ids, None, h_patches, w_patches, True, rope_cache)
             if self.out_layers is not None and i in self.out_layers:
                 outs.append(norm(tokens))
 

@@ -119,6 +119,54 @@ def apply_rope_3d(
     return jnp.concatenate(out, axis=-1)
 
 
+def build_rope_cache(
+    pos_ids: jnp.ndarray,
+    head_dim: int,
+    h_patches: int,
+    w_patches: int,
+    grid_size: int | None = None,
+    theta: float = 10000.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Precompute fused (cos, sin) for the 3 factorized subspaces.
+
+    Computing angles once per forward (instead of per layer) and
+    concatenating the d/h/w subspace tables lets every layer apply RoPE as a
+    single elementwise op over the first ``rot`` features.
+
+    pos_ids: [B, N] or [N]. Returns (cos, sin) of shape pos.shape + (rot,)
+    where ``rot`` = d_dim + h_dim + w_dim.
+    """
+    d_dim, h_dim, w_dim = rope_3d_dims(head_dim)
+    d_ids, h_ids, w_ids = separate_positions(pos_ids, h_patches, w_patches)
+    d_ids = d_ids.astype(jnp.float32)
+    h_ids = h_ids.astype(jnp.float32)
+    w_ids = w_ids.astype(jnp.float32)
+    if grid_size is not None:
+        h_ids = h_ids * (grid_size / h_patches)
+        w_ids = w_ids * (grid_size / w_patches)
+    parts = [rope_angles(ids, dim, theta) for ids, dim in
+             ((d_ids, d_dim), (h_ids, h_dim), (w_ids, w_dim))]
+    cos = jnp.concatenate([p[0] for p in parts], axis=-1)
+    sin = jnp.concatenate([p[1] for p in parts], axis=-1)
+    return cos, sin
+
+
+def apply_rope_cache(x: jnp.ndarray, cache: tuple) -> jnp.ndarray:
+    """Apply a precomputed rope cache to q or k of shape [B, N, H, Dh].
+
+    The rotated width comes from the (static) cos shape, so the cache stays
+    remat/jit-transparent."""
+    cos, sin = cache
+    rot = cos.shape[-1]
+    cos = cos[..., None, :]  # broadcast over heads
+    sin = sin[..., None, :]
+    sub = x[..., :rot]
+    rotated = (sub * cos + rotate_pairs(sub) * sin).astype(x.dtype)
+    if rot < x.shape[-1]:
+        return jnp.concatenate([rotated, x[..., rot:]], axis=-1)
+    return rotated
+
+
 def apply_rope_1d(x: jnp.ndarray, pos_ids: jnp.ndarray, dim: int, theta: float = 10000.0) -> jnp.ndarray:
     """Rotate only the first ``dim`` features of [B, N, H, Dh] by temporal ids.
 
