@@ -84,17 +84,7 @@ def build_encoder(model_kwargs: dict, resolution: int, fpc: int, checkpoint=None
     return enc, params
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--fname", required=True)
-    p.add_argument("--checkpoint", default=None)
-    p.add_argument("--epochs", type=int, default=None)
-    p.add_argument("--synthetic-data", action="store_true")
-    p.add_argument("--val-only", action="store_true")
-    args = p.parse_args(argv)
-
-    with open(args.fname) as f:
-        cfg = yaml.safe_load(f)
+def run_video_classification(cfg: dict, args) -> dict:
     exp = cfg["experiment"]
     data_c = exp["data"]
     opt_c = exp["optimization"]
@@ -168,7 +158,13 @@ def main(argv=None):
         train_loader = make(data_c["dataset_train"], True)
         val_loader = make(data_c["dataset_val"], False)
 
-    result = ev.run(train_loader, val_loader, epochs=0 if args.val_only else epochs)
+    val_only = args.val_only or bool(cfg.get("val_only", False))
+    probe_ckpt = (cfg.get("model_kwargs", {}) or {}).get("probe_checkpoint")
+    if val_only and probe_ckpt:
+        first = next(iter(val_loader))
+        feats = ev.features(first[0][:1], None if first[2] is None else first[2][:1])
+        ev.restore_probes(probe_ckpt, feats.shape[1:])
+    result = ev.run(train_loader, val_loader, epochs=0 if val_only else epochs)
     logger.info(
         "top-1 %.4f (probe %d of %d); per-probe: %s",
         result["top1"], result["best_probe"], len(probes),
@@ -176,6 +172,198 @@ def main(argv=None):
     )
     print({"top1": result["top1"], "best_probe": result["best_probe"]})
     return result
+
+
+def run_image_classification(cfg: dict, args) -> dict:
+    """IN1K frozen probe (reference `evals/image_classification_frozen/eval.py`)."""
+    import jax
+
+    exp = cfg["experiment"]
+    data_c = exp["data"]
+    opt_c = exp["optimization"]
+    cls_c = exp.get("classifier", {})
+    mdl_c = cfg.get("model_kwargs", {})
+    res = int(data_c.get("resolution", 256))
+    num_classes = int(data_c.get("num_classes", 1000))
+    batch_size = int(opt_c.get("batch_size", 16))
+    ipe = int(opt_c.get("ipe", 100))
+    epochs = args.epochs or int(opt_c.get("num_epochs", 1))
+
+    ckpt = args.checkpoint or mdl_c.get("checkpoint")
+    encoder, enc_params = build_encoder(mdl_c, res, 2, ckpt)
+    if enc_params is None:
+        logger.warning("no checkpoint given: using randomly-initialized encoder")
+        dummy = jnp.zeros((1, 2, res, res, 3), jnp.float32)
+        enc_params = jax.jit(encoder.init)(jax.random.PRNGKey(0), dummy)["params"]
+    probes = probe_configs_from_multihead(opt_c.get("multihead_kwargs", [{}]), ipe)
+
+    from vjepa2_tpu.evals.image_classification import ImageClassificationEval
+
+    ev = ImageClassificationEval(
+        encoder=encoder, enc_params=enc_params, num_classes=num_classes,
+        probe_configs=probes, num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
+        probe_depth=int(cls_c.get("num_probe_blocks", 1)), total_steps=epochs * ipe,
+    )
+
+    if args.synthetic_data or not data_c.get("root"):
+        rng = np.random.default_rng(0)
+
+        def synth(batches, seed):
+            r = np.random.default_rng(seed)
+            for _ in range(batches):
+                labels = r.integers(0, num_classes, size=batch_size)
+                imgs = r.normal(size=(batch_size, res, res, 3)).astype(np.float32) * 0.1
+                imgs += labels[:, None, None, None] / num_classes
+                yield imgs, labels
+
+        train_loader = list(synth(ipe, 0))
+        val_loader = list(synth(max(1, ipe // 4), 1))
+    else:
+        from vjepa2_tpu.data.manager import init_image_data
+        from vjepa2_tpu.data.transforms import ImageTransform
+
+        _, train_loader, _ = init_image_data(
+            data_c["root"], batch_size, transform=ImageTransform(crop_size=res, train=True),
+            train=True, world_size=jax.process_count(), rank=jax.process_index(), ipe=ipe,
+        )
+        _, val_loader, _ = init_image_data(
+            data_c.get("root_val", data_c["root"]), batch_size,
+            transform=ImageTransform(crop_size=res, train=False), train=False,
+            world_size=jax.process_count(), rank=jax.process_index(),
+        )
+    result = ev.run(train_loader, val_loader, epochs=epochs)
+    logger.info("IN1K top-1 %.4f (best probe %d)", result["top1"], result["best_probe"])
+    print({"top1": result["top1"], "best_probe": result["best_probe"]})
+    return result
+
+
+def run_action_anticipation(cfg: dict, args) -> dict:
+    """EK100 anticipation (reference `evals/action_anticipation_frozen/eval.py`)."""
+    import jax
+
+    from vjepa2_tpu.evals.action_anticipation import AnticipationEval
+    from vjepa2_tpu.models.predictor import vit_predictor
+
+    exp = cfg["experiment"]
+    data_c = exp["data"]
+    opt_c = exp["optimization"]
+    mdl_c = cfg.get("model_kwargs", {})
+    fpc = int(data_c.get("frames_per_clip", 16))
+    res = int(data_c.get("resolution", 256))
+    batch_size = int(opt_c.get("batch_size", 8))
+    ipe = int(opt_c.get("ipe", 100))
+    epochs = args.epochs or int(opt_c.get("num_epochs", 1))
+    fps = float(data_c.get("frames_per_second", 4))
+
+    ckpt = args.checkpoint or mdl_c.get("checkpoint")
+    encoder, enc_params = build_encoder(mdl_c, res, fpc, ckpt)
+    hp = res // 16
+    predictor = vit_predictor(
+        img_size=(res, res), num_frames=fpc, tubelet_size=2,
+        embed_dim=encoder.embed_dim, predictor_embed_dim=384, depth=12,
+        num_heads=12, num_mask_tokens=10, use_mask_tokens=True, use_rope=True,
+    )
+    pred_params = None
+    if ckpt and str(ckpt).endswith(".pt"):
+        from vjepa2_tpu.hub.converter import convert_predictor, load_torch_checkpoint
+
+        t = load_torch_checkpoint(ckpt)
+        if "predictor" in t:
+            pred_params = convert_predictor(t["predictor"])
+    if enc_params is None or pred_params is None:
+        logger.warning("missing checkpoint: randomly-initialized encoder/predictor")
+        dummy = jnp.zeros((1, fpc, res, res, 3), jnp.float32)
+        if enc_params is None:
+            enc_params = jax.jit(encoder.init)(jax.random.PRNGKey(0), dummy)["params"]
+        if pred_params is None:
+            x = encoder.apply({"params": enc_params}, dummy)
+            N = x.shape[1]
+            pred_params = jax.jit(
+                lambda k: predictor.init(
+                    k, x, jnp.zeros((1, N), jnp.int32), jnp.zeros((1, hp * hp), jnp.int32), 0
+                )
+            )(jax.random.PRNGKey(1))["params"]
+
+    if args.synthetic_data or not data_c.get("annotations_train"):
+        nv, nn_, na = 5, 7, 9
+        r = np.random.default_rng(0)
+
+        def synth(batches, seed):
+            rr = np.random.default_rng(seed)
+            out = []
+            for _ in range(batches):
+                labels = rr.integers(0, nv, size=batch_size)
+                clips = rr.normal(size=(batch_size, fpc, res, res, 3)).astype(np.float32) * 0.1
+                clips += labels[:, None, None, None, None] / nv
+                at = np.ones(batch_size, np.float32)
+                out.append((clips, at, labels, labels % nn_, labels % na))
+            return out
+
+        train_batches, val_batches = synth(ipe, 0), synth(max(1, ipe // 4), 1)
+        valid_actions = None
+    else:
+        from vjepa2_tpu.data.epickitchens import EpicKitchensAnticipation, anticipation_collate
+        from vjepa2_tpu.data.loader import DataLoader
+        from vjepa2_tpu.data.samplers import DistributedSampler
+        from vjepa2_tpu.data.transforms import VideoTransform
+
+        train_ds = EpicKitchensAnticipation(
+            data_c["annotations_train"], frames_per_clip=fpc,
+            transform=VideoTransform(crop_size=res),
+            anticipation_time_range=tuple(data_c.get("anticipation_time", (1.0, 1.0))),
+        )
+        val_ds = EpicKitchensAnticipation(
+            data_c["annotations_val"], label_space=train_ds.label_space,
+            frames_per_clip=fpc, transform=VideoTransform(crop_size=res),
+        )
+        nv, nn_, na = train_ds.num_verbs, train_ds.num_nouns, train_ds.num_actions
+        valid_actions = train_ds.valid_action_classes()
+
+        def make(ds, train):
+            sampler = DistributedSampler(len(ds), jax.process_count(), jax.process_index(), shuffle=train)
+            return DataLoader(ds, sampler, batch_size, num_workers=data_c.get("num_workers", 4),
+                              collate_fn=anticipation_collate, epoch_len=ipe if train else None)
+
+        train_batches, val_batches = make(train_ds, True), make(val_ds, False)
+
+    ev = AnticipationEval(
+        encoder, enc_params, predictor, pred_params,
+        num_verbs=nv, num_nouns=nn_, num_actions=na,
+        frames_per_second=fps, grid_size=hp, h_patches=hp, w_patches=hp,
+        lr=float(opt_c.get("lr", 1e-3)), weight_decay=float(opt_c.get("weight_decay", 0.01)),
+    )
+    for epoch in range(epochs):
+        for batch in train_batches:
+            loss = ev.train_batch(*batch)
+        logger.info("anticipation epoch %d loss %.4f", epoch, loss)
+    result = ev.evaluate(val_batches, k=int(opt_c.get("recall_k", 5)), valid_action_classes=valid_actions)
+    logger.info("anticipation: %s", result)
+    print({k: v["recall"] for k, v in result.items()})
+    return result
+
+
+EVALS = {
+    "video_classification_frozen": run_video_classification,
+    "image_classification_frozen": run_image_classification,
+    "action_anticipation_frozen": run_action_anticipation,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--fname", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--val-only", action="store_true")
+    args = p.parse_args(argv)
+
+    with open(args.fname) as f:
+        cfg = yaml.safe_load(f)
+    name = cfg.get("eval_name", "video_classification_frozen")
+    if name not in EVALS:
+        raise SystemExit(f"unknown eval_name '{name}'; available: {', '.join(EVALS)}")
+    return EVALS[name](cfg, args)
 
 
 if __name__ == "__main__":

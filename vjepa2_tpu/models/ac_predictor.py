@@ -82,6 +82,11 @@ class VisionTransformerPredictorAC(nn.Module):
             tokens = jnp.concatenate([a, s, tokens], axis=2)
         tokens = tokens.reshape(B, T * (cond + gh * gw), P)
 
+        from vjepa2_tpu.models.modules import build_ac_rope_cache
+
+        rope_cache = build_ac_rope_cache(
+            P // self.num_heads, T, gh, gw, cond, gh
+        ) if self.use_rope else None
         block_cls = nn.remat(ACBlock) if self.use_activation_checkpointing else ACBlock
         for i in range(self.depth):
             tokens = block_cls(
@@ -97,7 +102,7 @@ class VisionTransformerPredictorAC(nn.Module):
                 dtype=self.dtype,
                 init_std=self.init_std,
                 name=f"predictor_blocks_{i}",
-            )(tokens, T, gh, gw, cond)
+            )(tokens, T, gh, gw, cond, rope_cache)
 
         tokens = tokens.reshape(B, T, cond + gh * gw, P)[:, :, cond:, :]
         tokens = tokens.reshape(B, T * gh * gw, P)

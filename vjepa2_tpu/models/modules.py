@@ -215,6 +215,37 @@ class Attention(nn.Module):
         )(out)
 
 
+def build_ac_rope_cache(head_dim: int, T: int, h_patches: int, w_patches: int,
+                        cond_tokens: int, grid_size: int):
+    """Fused (cos, sin) for the interleaved AC sequence: conditioning tokens
+    get factorized ids (t, 0, 0); frame tokens (t, row*snap, col*snap)."""
+    from vjepa2_tpu.ops.rope import rope_angles
+
+    A, HW = cond_tokens, h_patches * w_patches
+    N = T * (A + HW)
+    grid_flat = jnp.arange(T * HW, dtype=jnp.int32)
+    gd, gh, gw = separate_positions(grid_flat, h_patches, w_patches)
+    gh = gh.astype(jnp.float32) * (grid_size / h_patches)
+    gw = gw.astype(jnp.float32) * (grid_size / w_patches)
+    gd = gd.astype(jnp.float32)
+
+    def interleave(frame_vals, cond_vals):
+        f = frame_vals.reshape(T, HW)
+        c = cond_vals.reshape(T, A)
+        return jnp.concatenate([c, f], axis=1).reshape(N)
+
+    cond_t = jnp.repeat(jnp.arange(T, dtype=jnp.float32)[:, None], A, axis=1).reshape(-1)
+    d_ids = interleave(gd, cond_t)
+    h_ids = interleave(gh, jnp.zeros(T * A, jnp.float32))
+    w_ids = interleave(gw, jnp.zeros(T * A, jnp.float32))
+    d_dim, h_dim, w_dim = rope_3d_dims(head_dim)
+    parts = [rope_angles(ids, dim) for ids, dim in
+             ((d_ids, d_dim), (h_ids, h_dim), (w_ids, w_dim))]
+    cos = jnp.concatenate([p[0] for p in parts], axis=-1)
+    sin = jnp.concatenate([p[1] for p in parts], axis=-1)
+    return cos, sin
+
+
 class ACAttention(nn.Module):
     """Attention over interleaved (conditioning + frame) tokens, frame-causal.
 
@@ -234,33 +265,23 @@ class ACAttention(nn.Module):
     proj_init_scale: float = 1.0
 
     @nn.compact
-    def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int):
+    def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int,
+                 rope_cache=None):
         B, N, C = x.shape
         A, HW = cond_tokens, h_patches * w_patches
         assert N == T * (A + HW)
         q, k, v = _qkv(x, self.dim, self.num_heads, self.qkv_bias, self.dtype, self.init_std)
 
-        # Factorized ids for every token in the interleaved sequence.
-        grid_flat = jnp.arange(T * HW, dtype=jnp.int32)
-        gd, gh, gw = separate_positions(grid_flat, h_patches, w_patches)
-        gh = gh.astype(jnp.float32) * (self.grid_size / h_patches)
-        gw = gw.astype(jnp.float32) * (self.grid_size / w_patches)
-        gd = gd.astype(jnp.float32)
-        frame_of = jnp.repeat(jnp.arange(T, dtype=jnp.float32), A + HW)  # [N]
-
-        def interleave(frame_vals, cond_vals):
-            f = frame_vals.reshape(T, HW)
-            c = cond_vals.reshape(T, A)
-            return jnp.concatenate([c, f], axis=1).reshape(N)
-
-        cond_t = jnp.repeat(jnp.arange(T, dtype=jnp.float32)[:, None], A, axis=1).reshape(-1)
-        d_ids = interleave(gd, cond_t)
-        h_ids = interleave(gh, jnp.zeros(T * A, jnp.float32))
-        w_ids = interleave(gw, jnp.zeros(T * A, jnp.float32))
-        q, k = _rope_rotate_qk(q, k, d_ids, h_ids, w_ids)
+        if rope_cache is None:
+            rope_cache = build_ac_rope_cache(
+                self.dim // self.num_heads, T, h_patches, w_patches, A, self.grid_size
+            )
+        q = apply_rope_cache(q, rope_cache)
+        k = apply_rope_cache(k, rope_cache)
 
         attn_mask = None
         if self.is_frame_causal:
+            frame_of = jnp.repeat(jnp.arange(T, dtype=jnp.float32), A + HW)  # [N]
             attn_mask = frame_of[:, None] >= frame_of[None, :]  # [N, N] bool
 
         out = sdpa(q, k, v, attn_mask=attn_mask).reshape(B, N, C)
@@ -371,7 +392,8 @@ class ACBlock(nn.Module):
     init_std: float = 0.02
 
     @nn.compact
-    def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int):
+    def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int,
+                 rope_cache=None):
         rescale = 1.0 / math.sqrt(2.0 * (self.layer_id + 1))
         y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = ACAttention(
@@ -384,7 +406,8 @@ class ACBlock(nn.Module):
             init_std=self.init_std,
             proj_init_scale=rescale,
             name="attn",
-        )(y, T=T, h_patches=h_patches, w_patches=w_patches, cond_tokens=cond_tokens)
+        )(y, T=T, h_patches=h_patches, w_patches=w_patches, cond_tokens=cond_tokens,
+          rope_cache=rope_cache)
         x = x + y
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
