@@ -232,3 +232,17 @@ def test_predictor_parity():
         {"params": params}, jnp.asarray(x.numpy()), jnp.asarray(mx.numpy()), jnp.asarray(my.numpy()), 1
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_converter_roundtrip(torch_encoder):
+    """convert -> export -> convert is the identity."""
+    from vjepa2_tpu.hub.converter import convert_encoder, export_encoder
+
+    params = convert_encoder(torch_encoder.ref_state_dict())
+    sd = export_encoder(params)
+    params2 = convert_encoder(sd)
+    flat1 = jax.tree_util.tree_leaves(params)
+    flat2 = jax.tree_util.tree_leaves(params2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

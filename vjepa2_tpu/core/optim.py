@@ -12,7 +12,7 @@ by chaining scale_by_adam -> add wd*p (masked) -> scale by -lr.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

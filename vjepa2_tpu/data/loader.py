@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import itertools
 import multiprocessing as mp
-import queue as queue_mod
-import threading
 from typing import Callable, Iterable, Iterator, Optional
 
 import numpy as np

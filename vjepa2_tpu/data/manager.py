@@ -10,7 +10,6 @@ from vjepa2_tpu.data.samplers import (
     DistributedWeightedSampler,
     MemoryEfficientDistributedWeightedSampler,
 )
-from vjepa2_tpu.data.transforms import VideoTransform
 from vjepa2_tpu.data.video_dataset import VideoDataset
 
 

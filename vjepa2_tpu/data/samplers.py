@@ -9,7 +9,7 @@ batch. The samplers are host-side numpy and testable with explicit
 from __future__ import annotations
 
 import math
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

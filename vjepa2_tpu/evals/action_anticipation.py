@@ -16,7 +16,7 @@ Components:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -57,8 +57,6 @@ def _image_encoder(encoder=None, enc_params=None, tubelet_size: int = 2, **_):
     from vjepa2_tpu.evals.wrappers import image_as_video
 
     def extract(images, clip_indices=None):
-        import jax
-
         return encoder.apply({"params": enc_params}, image_as_video(images, tubelet_size))
 
     return extract

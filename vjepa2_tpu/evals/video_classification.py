@@ -7,7 +7,7 @@ aggregation averages logits over spatial views at eval time.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import jax

@@ -146,3 +146,74 @@ def load_torch_checkpoint(path: str) -> dict:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: flax params -> torch-layout state dicts (for users
+# migrating checkpoints back to the reference, and for round-trip tests).
+# ---------------------------------------------------------------------------
+
+
+def _get(tree: Mapping, path: list[str]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def _export_linear(sd, tree, flax_path, torch_key):
+    sd[torch_key + ".weight"] = _get(tree, flax_path + ["kernel"]).T
+    node = tree
+    for p in flax_path:
+        node = node.get(p, {})
+    if isinstance(node, Mapping) and "bias" in node:
+        sd[torch_key + ".bias"] = np.asarray(node["bias"])
+
+
+def _export_ln(sd, tree, flax_path, torch_key):
+    sd[torch_key + ".weight"] = _get(tree, flax_path + ["LayerNorm_0", "scale"])
+    sd[torch_key + ".bias"] = _get(tree, flax_path + ["LayerNorm_0", "bias"])
+
+
+def _export_block(sd, tree, blk_name, prefix):
+    _export_ln(sd, tree, [blk_name, "norm1"], prefix + ".norm1")
+    _export_ln(sd, tree, [blk_name, "norm2"], prefix + ".norm2")
+    _export_linear(sd, tree, [blk_name, "attn", "qkv"], prefix + ".attn.qkv")
+    _export_linear(sd, tree, [blk_name, "attn", "proj"], prefix + ".attn.proj")
+    mlp = tree[blk_name]["mlp"]
+    for fc in ("fc1", "fc2", "fc3"):
+        if fc in mlp:
+            _export_linear(sd, tree, [blk_name, "mlp", fc], f"{prefix}.mlp.{fc}")
+
+
+def export_encoder(params: Mapping) -> dict[str, np.ndarray]:
+    """flax encoder params -> torch-layout state dict (numpy values)."""
+    sd: dict[str, np.ndarray] = {}
+    kernel = _get(params, ["patch_embed", "proj", "kernel"])
+    if kernel.ndim == 5:
+        sd["patch_embed.proj.weight"] = kernel.transpose(4, 3, 0, 1, 2)
+    else:
+        sd["patch_embed.proj.weight"] = kernel.transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = _get(params, ["patch_embed", "proj", "bias"])
+    i = 0
+    while f"blocks_{i}" in params:
+        _export_block(sd, params, f"blocks_{i}", f"blocks.{i}")
+        i += 1
+    _export_ln(sd, params, ["norm"], "norm")
+    return sd
+
+
+def export_predictor(params: Mapping) -> dict[str, np.ndarray]:
+    sd: dict[str, np.ndarray] = {}
+    _export_linear(sd, params, ["predictor_embed"], "predictor_embed")
+    _export_linear(sd, params, ["predictor_proj"], "predictor_proj")
+    _export_ln(sd, params, ["predictor_norm"], "predictor_norm")
+    if "mask_tokens" in params:
+        mt = np.asarray(params["mask_tokens"])
+        for j in range(mt.shape[0]):
+            sd[f"mask_tokens.{j}"] = mt[j].reshape(1, 1, -1)
+    i = 0
+    while f"predictor_blocks_{i}" in params:
+        _export_block(sd, params, f"predictor_blocks_{i}", f"predictor_blocks.{i}")
+        i += 1
+    return sd

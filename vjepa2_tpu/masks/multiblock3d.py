@@ -24,7 +24,7 @@ contract as the reference, always the same shape -> one compiled step.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import numpy as np

@@ -13,7 +13,6 @@ TPU-first re-design:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import flax.linen as nn

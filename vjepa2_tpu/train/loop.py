@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -222,8 +222,26 @@ class Pretrainer:
         for epoch in range(start_epoch, epochs):
             loader = self.make_loader()
             loss_meter, time_meter = AverageMeter(), AverageMeter()
+            pending: list[tuple[int, object]] = []  # (itr, metrics)
+            window_t0 = time.perf_counter()
+
+            def drain():
+                # fetch queued losses; keeps the device pipeline full between
+                # log points instead of syncing every step
+                nonlocal window_t0
+                if not pending:
+                    return
+                dt_ms = (time.perf_counter() - window_t0) * 1e3 / len(pending)
+                for itr_i, m in pending:
+                    loss_i = float(m["loss"])
+                    assert np.isfinite(loss_i), f"non-finite loss at itr {itr_i}"
+                    loss_meter.update(loss_i)
+                    time_meter.update(dt_ms)
+                    csv.log(epoch, itr_i, loss_i, dt_ms)
+                pending.clear()
+                window_t0 = time.perf_counter()
+
             for itr, (clips_list, _labels, _ci) in enumerate(loader):
-                t0 = time.perf_counter()
                 clips = np.asarray(clips_list[0], np.float32)
                 fpc = clips.shape[1]
                 self.collator.step()
@@ -235,17 +253,14 @@ class Pretrainer:
                     tuple(jnp.asarray(m) for m in masks_enc),
                     tuple(jnp.asarray(m) for m in masks_pred),
                 )
-                loss = float(metrics["loss"])
-                assert np.isfinite(loss), f"non-finite loss at step {int(state.step)}"
-                dt_ms = (time.perf_counter() - t0) * 1e3
-                loss_meter.update(loss)
-                time_meter.update(dt_ms)
-                csv.log(epoch, itr, loss, dt_ms)
-                if itr % log_every == 0:
+                pending.append((itr, metrics))
+                if itr % log_every == 0 or len(pending) >= log_every:
+                    drain()
                     logger.info(
                         "epoch %d itr %d loss %.4f (avg %.4f) %.0f ms",
-                        epoch, itr, loss, loss_meter.avg, time_meter.avg,
+                        epoch, itr, loss_meter.val, loss_meter.avg, time_meter.avg,
                     )
+            drain()
             last_loss = loss_meter.avg
             self.ckpt.save(int(state.step), state, wait=True)
             if (

@@ -10,14 +10,14 @@ mesh, and bf16 compute with fp32 params/optimizer needs no loss scaling.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+from dataclasses import dataclass
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from vjepa2_tpu.core.mesh import batch_spec, make_mesh, param_spec
+from vjepa2_tpu.core.mesh import batch_spec, param_spec
 from vjepa2_tpu.core.optim import ema_update, make_adamw
 from vjepa2_tpu.core.schedulers import cosine_wd, ema_momentum, warmup_cosine_lr
 from vjepa2_tpu.models.predictor import VisionTransformerPredictor
