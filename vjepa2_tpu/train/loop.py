@@ -242,14 +242,15 @@ class Pretrainer:
                 window_t0 = time.perf_counter()
 
             for itr, (clips_list, _labels, _ci) in enumerate(loader):
-                clips = np.asarray(clips_list[0], np.float32)
+                # transfer in the compute dtype: halves H2D bytes under bf16
+                clips = np.asarray(clips_list[0])
                 fpc = clips.shape[1]
                 self.collator.step()
                 masks_enc, masks_pred = self.collator(fpc, clips.shape[0])
                 step_fn = self._step_fn(fpc)
                 state, metrics = step_fn(
                     state,
-                    jnp.asarray(clips),
+                    jnp.asarray(clips, self.dtype),
                     tuple(jnp.asarray(m) for m in masks_enc),
                     tuple(jnp.asarray(m) for m in masks_pred),
                 )
