@@ -205,9 +205,105 @@ def bench_pretrain(args):
     }
 
 
+def bench_ac(args):
+    """AC predictor train step (teacher forcing + rollout), BASELINE config 5."""
+    import jax as _jax
+
+    from vjepa2_tpu.models.ac_predictor import vit_ac_predictor
+    from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
+    from vjepa2_tpu.train.droid import (
+        DroidHParams,
+        init_droid_params,
+        make_droid_optimizer,
+        make_droid_train_step,
+    )
+    from vjepa2_tpu.train.state import TrainState
+
+    B, T, S = args.batch, args.frames, args.size
+    encoder = MODEL_REGISTRY[args.model](
+        img_size=(S, S), num_frames=2, tubelet_size=2, use_rope=True, dtype=jnp.bfloat16
+    )
+    predictor = vit_ac_predictor(
+        img_size=(S, S), patch_size=16, num_frames=2 * T, tubelet_size=2,
+        embed_dim=encoder.embed_dim, predictor_embed_dim=1024, depth=24,
+        num_heads=16, dtype=jnp.bfloat16,
+    )
+    hp = DroidHParams(total_steps=1000, warmup_steps=10, anneal_steps=100, auto_steps=2)
+    tx = make_droid_optimizer(hp)
+    params, enc_params, tpf = init_droid_params(encoder, predictor, 0, (B, T, S, S, 3))
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                       target_params=enc_params, opt_state=tx.init(params))
+    step = jax.jit(make_droid_train_step(encoder, predictor, tx, hp, tpf), donate_argnums=(0,))
+    rs = np.random.RandomState(0)
+    clips = jnp.asarray(rs.rand(B, T, S, S, 3), jnp.bfloat16)
+    actions = jnp.asarray(rs.rand(B, T - 1, 7) * 0.1, jnp.float32)
+    states = jnp.asarray(rs.rand(B, T, 7), jnp.float32)
+    state, m = step(state, clips, actions, states)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, m = step(state, clips, actions, states)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+    return {
+        "metric": f"AC ({args.model}+pred24x1024) train step ({T}f@{S}px bs{B})",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/step",
+        "vs_baseline": 0.0,
+    }
+
+
+def bench_cem(args):
+    """CEM planning latency (BASELINE config 5: rollout + energy landscape)."""
+    from vjepa2_tpu.models.ac_predictor import vit_ac_predictor
+    from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
+    from vjepa2_tpu.planning import CEMConfig, WorldModel
+
+    S = args.size
+    encoder = MODEL_REGISTRY[args.model](
+        img_size=(S, S), num_frames=2, tubelet_size=2, use_rope=True, dtype=jnp.bfloat16
+    )
+    # depth/width scaled down: the full 24x1024 AC predictor inside a
+    # 10-iteration fori_loop over 100 rollout samples compiles for >10 min
+    # through the dev tunnel; this keeps the program shape representative.
+    predictor = vit_ac_predictor(
+        img_size=(S, S), patch_size=16, num_frames=16, tubelet_size=2,
+        embed_dim=encoder.embed_dim, predictor_embed_dim=256, depth=4,
+        num_heads=4, dtype=jnp.bfloat16,
+    )
+    frame = jnp.zeros((1, 2, S, S, 3), jnp.float32)
+    enc_params = jax.jit(encoder.init)(jax.random.PRNGKey(0), frame)["params"]
+    tpf = (S // 16) ** 2
+    E = encoder.embed_dim
+    pred_params = jax.jit(
+        lambda k: predictor.init(
+            k, jnp.zeros((1, tpf, E)), jnp.zeros((1, 1, 7)), jnp.zeros((1, 1, 7))
+        )
+    )(jax.random.PRNGKey(1))["params"]
+    wm = WorldModel(
+        encoder, enc_params, predictor, pred_params, tokens_per_frame=tpf,
+        cem_config=CEMConfig(rollout=2, cem_steps=5, samples=64, topk=8),
+    )
+    rs = np.random.RandomState(0)
+    rep = wm.encode(rs.rand(S, S, 3).astype(np.float32))
+    goal = wm.encode(rs.rand(S, S, 3).astype(np.float32))
+    pose = np.zeros(7, np.float32)
+    wm.infer_next_action(rep, pose, goal)  # compile
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        plan = wm.infer_next_action(rep, pose, goal, rng=jax.random.PRNGKey(i + 1))
+    dt = (time.perf_counter() - t0) / args.steps
+    return {
+        "metric": f"CEM plan latency ({args.model} wm, 64 samples x 5 steps, rollout 2)",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/plan",
+        "vs_baseline": 0.0,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="encode", choices=["encode", "pretrain"])
+    ap.add_argument("--mode", default="encode", choices=["encode", "pretrain", "ac", "cem"])
     ap.add_argument("--model", default="vit_giant")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=16)
@@ -222,7 +318,12 @@ def main():
         raise SystemExit(
             f"unknown model '{args.model}'; choose from: {', '.join(sorted(MODEL_REGISTRY))}"
         )
-    out = bench_encode(args) if args.mode == "encode" else bench_pretrain(args)
+    out = {
+        "encode": bench_encode,
+        "pretrain": bench_pretrain,
+        "ac": bench_ac,
+        "cem": bench_cem,
+    }[args.mode](args)
     print(json.dumps(out))
 
 

@@ -489,3 +489,14 @@ class CrossAttentionBlock(nn.Module):
             name="mlp",
         )(y)
         return q
+
+
+def build_action_block_causal_attention_mask(T: int, H: int, W: int, add_tokens: int = 1):
+    """Boolean [N, N] frame-block-causal mask (reference `modules.py:12-23`).
+
+    Provided for API parity; internally `ACAttention` generates the
+    equivalent mask from frame-id comparison without materializing it
+    at max_num_frames."""
+    n_per_frame = add_tokens + H * W
+    frame_of = jnp.repeat(jnp.arange(T), n_per_frame)
+    return frame_of[:, None] >= frame_of[None, :]
