@@ -60,3 +60,21 @@ def test_multi_view_aggregation():
     c = ev.eval_batch(two_view, labels, ci, num_views=2)
     c1 = ev.eval_batch(clips, labels, ci, num_views=1)
     np.testing.assert_array_equal(c, c1)  # identical views -> same prediction
+
+
+def test_temporal_pos_embed_path():
+    from vjepa2_tpu.evals.wrappers import encode_clips
+
+    ev, S, T = make_eval()
+    clips, labels, ci = synth_batch(2, 2, T, S, 3, 0)
+    # different clip frame offsets -> different temporal embeds
+    ci2 = ci.copy()
+    ci2[:, 1] += 40
+    f1 = encode_clips(ev.encoder, ev.enc_params, jnp.asarray(clips), jnp.asarray(ci),
+                      use_pos_embed=True)
+    f2 = encode_clips(ev.encoder, ev.enc_params, jnp.asarray(clips), jnp.asarray(ci2),
+                      use_pos_embed=True)
+    n_per_clip = f1.shape[1] // 2
+    # clip 0 unchanged, clip 1 differs
+    np.testing.assert_allclose(np.asarray(f1[:, :n_per_clip]), np.asarray(f2[:, :n_per_clip]), atol=1e-6)
+    assert np.abs(np.asarray(f1[:, n_per_clip:]) - np.asarray(f2[:, n_per_clip:])).max() > 1e-3

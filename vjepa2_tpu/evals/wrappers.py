@@ -28,6 +28,7 @@ def encode_clips(
     clip_indices: Optional[jnp.ndarray] = None,
     use_pos_embed: bool = False,
     max_frames: int = 10000,
+    tubelet_size: int = 2,
 ) -> jnp.ndarray:
     """clips: [B, num_clips, T, H, W, C] -> [B, num_clips*N, D] frozen features.
 
@@ -40,16 +41,19 @@ def encode_clips(
     feats = feats.reshape(B, nc * N, D)
 
     if use_pos_embed and clip_indices is not None:
-        # 1D temporal embed over absolute frame index, gathered per tubelet
-        # (reference `vit_encoder_multiclip.py:141-180`).
+        # 1D temporal embed over absolute frame index, one entry per tubelet,
+        # repeated across that tubelet's spatial tokens (reference
+        # `vit_encoder_multiclip.py:137-146`: table gathered at
+        # clip_indices[::tubelet_size]).
         table = jnp.asarray(
             get_1d_sincos_pos_embed(D, max_frames).astype(np.float32)
         )  # [max_frames, D]
-        # each clip's tokens share its first frame's temporal embed
-        first = clip_indices[:, :, 0]  # [B, nc]
-        emb = table[first.astype(jnp.int32)]  # [B, nc, D]
-        emb = jnp.repeat(emb, N, axis=1)  # [B, nc*N, D]
-        feats = feats + emb
+        idx = clip_indices[:, :, ::tubelet_size]  # [B, nc, T'] first frame per tubelet
+        t_prime = idx.shape[2]
+        s_tokens = N // t_prime  # tokens are t-major within a clip
+        emb = table[idx.astype(jnp.int32)]  # [B, nc, T', D]
+        emb = jnp.repeat(emb, s_tokens, axis=2)  # [B, nc, T'*S, D]
+        feats = feats + emb.reshape(B, nc * N, D)
     return feats
 
 
