@@ -52,6 +52,17 @@ def save_params(path: str, params: Any) -> None:
     ckptr.wait_until_finished()
 
 
-def load_params(path: str, template: Optional[Any] = None) -> Any:
+def load_params(path: str, template: Optional[Any] = None, retries: int = 3, backoff: float = 2.0) -> Any:
+    """Param restore with exponential-backoff retry (reference
+    `src/utils/checkpoint_loader.py:19-37` wraps flaky storage the same way)."""
+    import time
+
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target=template)
+    last = None
+    for attempt in range(retries):
+        try:
+            return ckptr.restore(os.path.abspath(path), target=template)
+        except (OSError, ValueError) as e:
+            last = e
+            time.sleep(backoff**attempt)
+    raise last
