@@ -57,3 +57,14 @@ def test_cem_moves_toward_goal():
     assert plan.shape == (1, 7)
     assert float(plan[0, 0]) > 0.02, f"CEM failed to find +x action: {plan}"
     np.testing.assert_allclose(np.asarray(plan[0, 3:6]), 0.0, atol=1e-7)
+
+
+def test_pose_diff_inverse_of_compose():
+    from vjepa2_tpu.planning.rotations import pose_diff
+
+    rng = np.random.RandomState(3)
+    start = rng.uniform(-0.3, 0.3, size=(7,)); start[6] = 0.4
+    end = rng.uniform(-0.3, 0.3, size=(7,)); end[6] = 0.7
+    action = pose_diff(jnp.asarray(start), jnp.asarray(end))
+    recovered = compose_pose(jnp.asarray(start), action)
+    np.testing.assert_allclose(np.asarray(recovered), end, atol=1e-5)

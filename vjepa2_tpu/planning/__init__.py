@@ -1,5 +1,10 @@
 from vjepa2_tpu.planning.cem import CEMConfig, make_cem
-from vjepa2_tpu.planning.rotations import compose_pose, euler_xyz_to_matrix, matrix_to_euler_xyz
+from vjepa2_tpu.planning.rotations import (
+    compose_pose,
+    euler_xyz_to_matrix,
+    matrix_to_euler_xyz,
+    pose_diff,
+)
 from vjepa2_tpu.planning.world_model import WorldModel
 
 __all__ = [
@@ -8,5 +13,6 @@ __all__ = [
     "compose_pose",
     "euler_xyz_to_matrix",
     "matrix_to_euler_xyz",
+    "pose_diff",
     "WorldModel",
 ]

@@ -45,3 +45,16 @@ def compose_pose(pose: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
     new_angle = matrix_to_euler_xyz(dR @ R)
     new_grip = jnp.clip(pose[..., 6:7] + action[..., 6:7], 0.0, 1.0)
     return jnp.concatenate([new_xyz, new_angle, new_grip], axis=-1)
+
+
+def pose_diff(start: jnp.ndarray, end: jnp.ndarray) -> jnp.ndarray:
+    """Delta action taking ``start`` to ``end`` (reference
+    `mpc_utils.py:poses_to_diff`): xyz/gripper differences plus the relative
+    rotation R(end) @ R(start)^T as extrinsic-xyz angles. Inverse of
+    `compose_pose` up to gripper clipping."""
+    xyz = end[..., :3] - start[..., :3]
+    Rs = euler_xyz_to_matrix(start[..., 3:6])
+    Re = euler_xyz_to_matrix(end[..., 3:6])
+    theta = matrix_to_euler_xyz(Re @ jnp.swapaxes(Rs, -1, -2))
+    grip = end[..., 6:7] - start[..., 6:7]
+    return jnp.concatenate([xyz, theta, grip], axis=-1)
