@@ -100,3 +100,16 @@ def test_fpc_bucket_sampler():
     # everything except incomplete tails is emitted
     total = sum(len(b) for b in batches)
     assert total >= 96
+
+
+def test_device_prefetch():
+    from vjepa2_tpu.data.prefetch import device_prefetch
+
+    items = [np.ones((2, 2)) * i for i in range(5)]
+    out = list(device_prefetch(items, size=2))
+    assert len(out) == 5
+    for i, o in enumerate(out):
+        assert float(np.asarray(o)[0, 0]) == i
+    # with a transform
+    out2 = list(device_prefetch(items, size=3, transform=lambda x: x * 2))
+    assert float(np.asarray(out2[1])[0, 0]) == 2.0

@@ -24,6 +24,7 @@ from vjepa2_tpu.core.config import PretrainConfig
 from vjepa2_tpu.core.logging import AverageMeter, CSVLogger, get_logger
 from vjepa2_tpu.core.mesh import MeshConfig, make_mesh
 from vjepa2_tpu.data.manager import init_video_data
+from vjepa2_tpu.data.prefetch import device_prefetch
 from vjepa2_tpu.data.transforms import VideoTransform
 from vjepa2_tpu.data.video import synthetic_clip
 from vjepa2_tpu.masks.multiblock3d import MaskCollator
@@ -241,19 +242,23 @@ class Pretrainer:
                 pending.clear()
                 window_t0 = time.perf_counter()
 
-            for itr, (clips_list, _labels, _ci) in enumerate(loader):
-                # transfer in the compute dtype: halves H2D bytes under bf16
-                clips = np.asarray(clips_list[0])
+            def stage(batch):
+                # host work per batch: collate dtype cast + mask sampling;
+                # device_prefetch transfers while the previous step runs
+                clips_list, _labels, _ci = batch
+                clips = np.asarray(clips_list[0], _np_dtype)
                 fpc = clips.shape[1]
                 self.collator.step()
-                masks_enc, masks_pred = self.collator(fpc, clips.shape[0])
+                me, mp = self.collator(fpc, clips.shape[0])
+                return clips, tuple(me), tuple(mp)
+
+            _np_dtype = np.float32 if self.dtype == jnp.float32 else jnp.bfloat16
+            for itr, (clips, masks_enc, masks_pred) in enumerate(
+                device_prefetch(loader, size=2, transform=stage)
+            ):
+                fpc = clips.shape[1]
                 step_fn = self._step_fn(fpc)
-                state, metrics = step_fn(
-                    state,
-                    jnp.asarray(clips, self.dtype),
-                    tuple(jnp.asarray(m) for m in masks_enc),
-                    tuple(jnp.asarray(m) for m in masks_pred),
-                )
+                state, metrics = step_fn(state, clips, masks_enc, masks_pred)
                 pending.append((itr, metrics))
                 if itr % log_every == 0 or len(pending) >= log_every:
                     drain()
