@@ -58,8 +58,11 @@ class SyntheticEvalLoader:
             yield clips, labels, ci
 
 
-def build_encoder(model_kwargs: dict, resolution: int, fpc: int, checkpoint=None, dtype=jnp.bfloat16):
+def build_encoder(model_kwargs: dict, resolution: int, fpc: int, checkpoint=None,
+                  dtype=jnp.bfloat16, out_layers=None):
     pk = model_kwargs.get("pretrain_kwargs", {}) or {}
+    if "encoder" in pk:  # reference nests encoder kwargs one level deeper
+        pk = pk["encoder"]
     model_name = pk.get("model_name", model_kwargs.get("model_name", "vit_large"))
     enc = MODEL_REGISTRY[model_name](
         img_size=(resolution, resolution),
@@ -67,6 +70,7 @@ def build_encoder(model_kwargs: dict, resolution: int, fpc: int, checkpoint=None
         tubelet_size=pk.get("tubelet_size", 2),
         uniform_power=pk.get("uniform_power", True),
         use_rope=pk.get("use_rope", True),
+        out_layers=tuple(out_layers) if out_layers else None,
         dtype=dtype,
     )
     params = None
@@ -99,7 +103,10 @@ def run_video_classification(cfg: dict, args) -> dict:
     epochs = args.epochs or int(opt_c.get("num_epochs", 1))
 
     ckpt = args.checkpoint or mdl_c.get("checkpoint")
-    encoder, enc_params = build_encoder(mdl_c, res, fpc, ckpt)
+    wrapper_kwargs = dict(mdl_c.get("wrapper_kwargs", {}) or {})
+    encoder, enc_params = build_encoder(
+        mdl_c, res, fpc, ckpt, out_layers=wrapper_kwargs.get("out_layers")
+    )
     if enc_params is None:
         import jax
 
@@ -109,6 +116,16 @@ def run_video_classification(cfg: dict, args) -> dict:
 
     ipe = int(opt_c.get("ipe", 100))
     probes = probe_configs_from_multihead(opt_c.get("multihead_kwargs", [{}]), ipe)
+
+    # Feature extractor resolved by dotted module name, reference-style
+    # (`evals/video_classification_frozen/models.py:14-44`).
+    extract = None
+    if mdl_c.get("module_name"):
+        from vjepa2_tpu.evals import plugins
+
+        extract = plugins.init_module(
+            mdl_c["module_name"], encoder=encoder, enc_params=enc_params, **wrapper_kwargs
+        )
 
     from vjepa2_tpu.evals.video_classification import VideoClassificationEval
 
@@ -120,6 +137,8 @@ def run_video_classification(cfg: dict, args) -> dict:
         num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
         probe_depth=int(cls_c.get("num_probe_blocks", 1)),
         total_steps=epochs * ipe,
+        use_pos_embed=bool(wrapper_kwargs.get("use_pos_embed", False)),
+        extract_fn=extract,
     )
 
     if args.synthetic_data or "dataset_train" not in data_c:
@@ -190,6 +209,7 @@ def run_image_classification(cfg: dict, args) -> dict:
     epochs = args.epochs or int(opt_c.get("num_epochs", 1))
 
     ckpt = args.checkpoint or mdl_c.get("checkpoint")
+    wrapper_kwargs = dict(mdl_c.get("wrapper_kwargs", {}) or {})
     encoder, enc_params = build_encoder(mdl_c, res, 2, ckpt)
     if enc_params is None:
         logger.warning("no checkpoint given: using randomly-initialized encoder")
@@ -197,12 +217,21 @@ def run_image_classification(cfg: dict, args) -> dict:
         enc_params = jax.jit(encoder.init)(jax.random.PRNGKey(0), dummy)["params"]
     probes = probe_configs_from_multihead(opt_c.get("multihead_kwargs", [{}]), ipe)
 
+    extract = None
+    if mdl_c.get("module_name"):
+        from vjepa2_tpu.evals import plugins
+
+        extract = plugins.init_module(
+            mdl_c["module_name"], encoder=encoder, enc_params=enc_params, **wrapper_kwargs
+        )
+
     from vjepa2_tpu.evals.image_classification import ImageClassificationEval
 
     ev = ImageClassificationEval(
         encoder=encoder, enc_params=enc_params, num_classes=num_classes,
         probe_configs=probes, num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
         probe_depth=int(cls_c.get("num_probe_blocks", 1)), total_steps=epochs * ipe,
+        extract_fn=extract,
     )
 
     if args.synthetic_data or not data_c.get("root"):
@@ -332,6 +361,7 @@ def run_action_anticipation(cfg: dict, args) -> dict:
         frames_per_second=fps, grid_size=hp, h_patches=hp, w_patches=hp,
         lr=float(opt_c.get("lr", 1e-3)), weight_decay=float(opt_c.get("weight_decay", 0.01)),
     )
+    loss = float("nan")  # stays NaN if the loader yields nothing
     for epoch in range(epochs):
         for batch in train_batches:
             loss = ev.train_batch(*batch)
@@ -340,6 +370,30 @@ def run_action_anticipation(cfg: dict, args) -> dict:
     logger.info("anticipation: %s", result)
     print({k: v["recall"] for k, v in result.items()})
     return result
+
+
+def shrink_config(cfg: dict) -> dict:
+    """Scale a real eval config down to vit_tiny/64px/2-probe for CI smoke
+    runs; dispatch wiring (module_name, out_layers, grids) is preserved."""
+    cfg = dict(cfg)
+    exp = cfg.get("experiment", {})
+    data_c = exp.get("data", {})
+    opt_c = exp.get("optimization", {})
+    data_c.update(resolution=64, frames_per_clip=4, num_segments=1, frame_step=1)
+    data_c["num_classes"] = min(int(data_c.get("num_classes", 10)), 10)
+    opt_c.update(batch_size=2, num_epochs=1, ipe=2)
+    opt_c["multihead_kwargs"] = (opt_c.get("multihead_kwargs") or [{}])[:2]
+    mdl = cfg.get("model_kwargs", {}) or {}
+    pk = mdl.get("pretrain_kwargs", {}) or {}
+    if "encoder" in pk:
+        pk = pk["encoder"]
+    pk["model_name"] = "vit_tiny"
+    mdl["pretrain_kwargs"] = pk
+    mdl["checkpoint"] = None
+    wk = mdl.get("wrapper_kwargs", {}) or {}
+    if wk.get("out_layers"):
+        wk["out_layers"] = [4, 8, 11]  # vit_tiny has 12 blocks
+    return cfg
 
 
 EVALS = {
@@ -356,10 +410,18 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--val-only", action="store_true")
+    p.add_argument(
+        "--tiny", action="store_true",
+        help="CI smoke mode: shrink model/resolution/ipe but keep the exact "
+        "config-driven dispatch path (plugin module_name, probe grid, ...)",
+    )
     args = p.parse_args(argv)
 
     with open(args.fname) as f:
         cfg = yaml.safe_load(f)
+    if args.tiny:
+        cfg = shrink_config(cfg)
+        args.synthetic_data = True
     name = cfg.get("eval_name", "video_classification_frozen")
     if name not in EVALS:
         raise SystemExit(f"unknown eval_name '{name}'; available: {', '.join(EVALS)}")

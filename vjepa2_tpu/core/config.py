@@ -34,6 +34,10 @@ class DataConfig:
     num_workers: int = 4
     persistent_workers: bool = True
     pin_mem: bool = True
+    # droid (reference `configs/train/vitg16/droid-256px-8f.yaml:9-21`)
+    camera_views: list = field(default_factory=lambda: ["left_mp4_path", "right_mp4_path"])
+    camera_frame: bool = False
+    stereo_view: bool = False
 
 
 @dataclass
@@ -98,6 +102,11 @@ class OptimizationConfig:
     # droid extras
     anneal: Optional[float] = None
     enc_lr_scale: float = 1.0
+    # cooldown/anneal phase (reference `configs/train/*/cooldown-*.yaml`):
+    # resume the decay leg from a pretrain checkpoint
+    is_anneal: bool = False
+    anneal_ckpt: Optional[str] = None
+    resume_anneal: bool = False
 
 
 @dataclass

@@ -60,8 +60,13 @@ class FpcBucketSampler:
                 b.clear()
 
 
-def _worker_loop(dataset, index_queue, result_queue, seed, monitor_dir=None, worker_id=0):
-    np.random.seed(seed)
+def _worker_loop(dataset, index_queue, result_queue, seed, monitor_dir=None, worker_id=0, rank=0):
+    # Rank-aware, collision-free worker seeding: distinct streams per
+    # (base_seed, rank, worker) — replaces the reference's Lightning LCG
+    # sequence (`src/datasets/utils/worker_init_fn.py:33-76`), which exists
+    # for exactly this cross-host collision problem.
+    ss = np.random.SeedSequence([seed, rank, worker_id])
+    np.random.seed(ss.generate_state(4))
     if monitor_dir is not None:
         # per-worker psutil sampling (reference `MonitoredDataset`,
         # `src/datasets/utils/dataloader.py:68-141`)
@@ -100,6 +105,8 @@ class DataLoader:
         epoch_len: Optional[int] = None,
         batch_sampler: Optional[Iterable[list[int]]] = None,
         monitor_dir: Optional[str] = None,
+        rank: int = 0,
+        mp_context: str = "spawn",
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -113,6 +120,8 @@ class DataLoader:
         self.epoch_len = epoch_len
         self.batch_sampler = batch_sampler
         self.monitor_dir = monitor_dir
+        self.rank = rank
+        self.mp_context = mp_context
 
     def _batched_indices(self) -> Iterator[list[int]]:
         if self.batch_sampler is not None:
@@ -143,13 +152,17 @@ class DataLoader:
         yield from self._iter_workers()
 
     def _iter_workers(self):
-        ctx = mp.get_context("fork")
+        # spawn, never fork: the trainer process holds a live (multi-threaded)
+        # device runtime; forking it risks deadlock. The reference spawns for
+        # the same reason (`app/main.py:82`).
+        ctx = mp.get_context(self.mp_context)
         index_queue = ctx.Queue()
         result_queue = ctx.Queue()
         workers = [
             ctx.Process(
                 target=_worker_loop,
-                args=(self.dataset, index_queue, result_queue, self.seed + w, self.monitor_dir, w),
+                args=(self.dataset, index_queue, result_queue, self.seed,
+                      self.monitor_dir, w, self.rank),
                 daemon=True,
             )
             for w in range(self.num_workers)

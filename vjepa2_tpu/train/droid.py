@@ -41,6 +41,7 @@ class DroidHParams:
     loss_exp: float = 1.0
     auto_steps: int = 2
     normalize_reps: bool = True
+    enc_lr_scale: float = 0.0  # >0: carry the encoder in the optimizer (reference parity)
 
 
 def feature_layernorm(h: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +49,17 @@ def feature_layernorm(h: jnp.ndarray) -> jnp.ndarray:
     return (h - h.mean(-1, keepdims=True)) / jnp.sqrt(h.var(-1, keepdims=True) + 1e-6)
 
 
-def make_droid_optimizer(hp: DroidHParams) -> optax.GradientTransformation:
+def make_droid_optimizer(hp: DroidHParams, params_like=None) -> optax.GradientTransformation:
+    """AdamW + WSD LR + cosine WD, with the reference's ``enc_lr_scale``
+    param group (`app/vjepa_droid/utils.py:215-227`).
+
+    When the trainable tree carries an "encoder" subtree, its LR is scaled by
+    ``hp.enc_lr_scale`` and it is excluded from weight decay. Note the
+    reference objective gives the encoder *zero* gradient (the predictor
+    consumes target-encoder features only, `train.py:408-427`), and torch
+    AdamW skips grad-less params entirely — excluding the encoder from WD
+    reproduces that bit-exactly while keeping the optimizer surface faithful.
+    """
     lr_fn = functools.partial(
         wsd_lr,
         warmup_steps=hp.warmup_steps,
@@ -59,7 +70,28 @@ def make_droid_optimizer(hp: DroidHParams) -> optax.GradientTransformation:
         final_lr=hp.final_lr,
     )
     wd_fn = functools.partial(cosine_wd, ref_wd=hp.wd, t_max=hp.total_steps, final_wd=hp.final_wd)
-    return make_adamw(lr_fn, wd_fn, betas=hp.betas, eps=hp.eps)
+    lr_scale_tree = None
+    mask = None
+    if params_like is not None and "encoder" in params_like:
+        lr_scale_tree = {
+            k: jax.tree_util.tree_map(
+                lambda _: hp.enc_lr_scale if k == "encoder" else 1.0, v
+            )
+            for k, v in params_like.items()
+        }
+        from vjepa2_tpu.core.optim import wd_mask
+
+        def mask(params):
+            base = wd_mask(params)
+            return {
+                k: (jax.tree_util.tree_map(lambda _: False, v) if k == "encoder" else v)
+                for k, v in base.items()
+            }
+
+    return make_adamw(
+        lr_fn, wd_fn, betas=hp.betas, eps=hp.eps,
+        lr_scale_tree=lr_scale_tree, **({"mask": mask} if mask is not None else {}),
+    )
 
 
 def encode_frames(encoder, enc_params, clips: jnp.ndarray) -> jnp.ndarray:
@@ -138,8 +170,15 @@ def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_f
     return train_step
 
 
-def init_droid_params(encoder, predictor, seed: int, clip_shape, action_dim: int = 7):
-    """Init: frozen encoder params become the target; predictor params train."""
+def init_droid_params(encoder, predictor, seed: int, clip_shape, action_dim: int = 7,
+                      train_encoder: bool = False):
+    """Init: encoder params become the (frozen) target; predictor params train.
+
+    train_encoder=True additionally carries an encoder copy in the trainable
+    tree, matching the reference optimizer surface (`utils.py:215-227`); its
+    gradient is structurally zero under this objective, so it stays frozen
+    either way (see `make_droid_optimizer`).
+    """
     B, T = clip_shape[0], clip_shape[1]
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     frames = jnp.zeros((B * T, 2) + tuple(clip_shape[2:]), jnp.float32)
@@ -148,13 +187,21 @@ def init_droid_params(encoder, predictor, seed: int, clip_shape, action_dim: int
     h = jax.jit(lambda v: encoder.apply(v, frames))(enc_vars)
     tpf = h.shape[1]
     h_full = h.reshape(B, T * tpf, h.shape[2])
+    extr0 = (
+        jnp.zeros((B, T - 1, action_dim - 1), jnp.float32)  # 6-dim, no gripper
+        if getattr(predictor, "use_extrinsics", False)
+        else None
+    )
     pred_vars = jax.jit(
         lambda k: predictor.init(
             k,
             h_full[:, :-tpf],
             jnp.zeros((B, T - 1, action_dim), jnp.float32),
             jnp.zeros((B, T - 1, action_dim), jnp.float32),
+            extr0,
         )
     )(k2)
     params = {"predictor": pred_vars["params"]}
+    if train_encoder:
+        params["encoder"] = jax.tree_util.tree_map(jnp.copy, enc_vars["params"])
     return params, enc_vars["params"], tpf

@@ -58,10 +58,13 @@ class DroidTrainer:
     cfg: PretrainConfig
     enc_params: Optional[object] = None  # pretrained encoder params (converted)
     synthetic_data: bool = False
-    frames_per_clip: int = 8
+    frames_per_clip: Optional[int] = None  # default: max(cfg.data.dataset_fpcs)
 
     def __post_init__(self):
         c = self.cfg
+        if self.frames_per_clip is None:
+            # reference: max_num_frames = max(dataset_fpcs) (`train.py:106`)
+            self.frames_per_clip = max(c.data.dataset_fpcs) if c.data.dataset_fpcs else 8
         self.dtype = jnp.bfloat16 if c.meta.dtype in ("bfloat16", "bf16") else jnp.float32
         self.mesh = make_mesh(MeshConfig(c.mesh.data, c.mesh.fsdp, c.mesh.model))
         self.encoder = MODEL_REGISTRY[c.model.model_name](
@@ -99,9 +102,10 @@ class DroidTrainer:
             loss_exp=c.loss.loss_exp,
             auto_steps=c.loss.auto_steps,
             normalize_reps=c.loss.normalize_reps,
+            enc_lr_scale=o.enc_lr_scale,
         )
         self.ipe = ipe
-        self.tx = make_droid_optimizer(self.hp)
+        self.tx = None  # built in run() once the param-tree shape is known
         os.makedirs(c.folder, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(c.folder, "ckpt"))
 
@@ -111,11 +115,18 @@ class DroidTrainer:
             return SyntheticDroidLoader(
                 c.data.batch_size, self.frames_per_clip, c.data.crop_size, self.ipe, c.meta.seed
             )
+        # The reference loads every frame (init_data is called with
+        # tubelet_size=1 -> frameskip=1, `app/vjepa_droid/train.py:238`,
+        # `droid.py:50`), so clips/states/actions all have frames_per_clip
+        # entries and line up with `encode_frames`'s per-frame encoding.
         ds = DROIDVideoDataset(
             c.data.datasets[0],
-            frames_per_clip=self.frames_per_clip * 2,  # pre-frameskip
+            camera_views=c.data.camera_views,
+            frames_per_clip=self.frames_per_clip,
+            frameskip=1,
             fps=c.data.fps,
             transform=VideoTransform(crop_size=c.data.crop_size),
+            camera_frame=c.data.camera_frame,
             seed=c.meta.seed,
         )
         sampler = DistributedSampler(len(ds), jax.process_count(), jax.process_index(), seed=c.meta.seed)
@@ -129,10 +140,14 @@ class DroidTrainer:
         epochs = epochs if epochs is not None else c.optimization.epochs
         B, T, S = c.data.batch_size, self.frames_per_clip, c.data.crop_size
         params, enc_params, tpf = init_droid_params(
-            self.encoder, self.predictor, c.meta.seed, (B, T, S, S, 3)
+            self.encoder, self.predictor, c.meta.seed, (B, T, S, S, 3),
+            train_encoder=self.hp.enc_lr_scale > 0,
         )
         if self.enc_params is not None:
             enc_params = self.enc_params
+            if "encoder" in params:
+                params["encoder"] = jax.tree_util.tree_map(jnp.copy, enc_params)
+        self.tx = make_droid_optimizer(self.hp, params_like=params)
         state = TrainState(
             step=jnp.zeros([], jnp.int32), params=params, target_params=enc_params,
             opt_state=self.tx.init(params),
