@@ -82,49 +82,54 @@ def main():
         emit(what=name, ms=round(dt * 1e3, 1), compile_s=round(compile_s, 1))
         return dt
 
+    # NB round-1 lesson: never close over big device arrays — they get
+    # embedded in the lowered program and the tunnel's remote_compile HTTP
+    # endpoint breaks ("Broken pipe") on multi-MB programs. Everything is an
+    # explicit argument.
+
     # A: target fwd (full sequence, no grad)
     @jax.jit
-    def target_fwd(c):
-        h = encoder.apply({"params": target}, clips + c)
+    def target_fwd(tgt, x, c):
+        h = encoder.apply({"params": tgt}, x + c)
         return h.astype(jnp.float32).mean() * 1e-30
 
-    timeit("A_target_fwd_full", target_fwd)
+    timeit("A_target_fwd_full", lambda c: target_fwd(target, clips, c))
 
     # B: ctx fwd (masked enc + predictor), no grad
     @jax.jit
-    def ctx_fwd(c):
+    def ctx_fwd(prm, x, me, mp, c):
         acc = jnp.float32(0.0)
         for i in range(len(me)):
-            z = encoder.apply({"params": params["encoder"]}, clips + c, [me[i]])
-            zp = predictor.apply({"params": params["predictor"]}, z, me[i], mp[i], i)
+            z = encoder.apply({"params": prm["encoder"]}, x + c, [me[i]])
+            zp = predictor.apply({"params": prm["predictor"]}, z, me[i], mp[i], i)
             acc += zp.astype(jnp.float32).mean()
         return acc * 1e-30
 
-    timeit("B_ctx_fwd_masked", ctx_fwd)
+    timeit("B_ctx_fwd_masked", lambda c: ctx_fwd(params, clips, me, mp, c))
 
     # C: loss + grads, no optimizer
-    def loss_fn(p, c):
-        h = encoder.apply({"params": target}, clips + c)
+    def loss_fn(prm, tgt, x, me, mp, c):
+        h = encoder.apply({"params": tgt}, x + c)
         h = h.astype(jnp.float32)
         h = (h - h.mean(-1, keepdims=True)) / jnp.sqrt(h.var(-1, keepdims=True) + 1e-6)
         h = jax.lax.stop_gradient(h)
         h_list = [apply_mask(h, m) for m in mp]
         z_list = []
         for i in range(len(me)):
-            z = encoder.apply({"params": p["encoder"]}, clips + c, [me[i]])
-            zp = predictor.apply({"params": p["predictor"]}, z, me[i], mp[i], i)
+            z = encoder.apply({"params": prm["encoder"]}, x + c, [me[i]])
+            zp = predictor.apply({"params": prm["predictor"]}, z, me[i], mp[i], i)
             z_list.append(zp)
         return jepa_loss(z_list, h_list, 1.0)
 
     @jax.jit
-    def grad_step(c):
-        loss, grads = jax.value_and_grad(loss_fn)(params, c)
+    def grad_step(prm, tgt, x, me, mp, c):
+        loss, grads = jax.value_and_grad(loss_fn)(prm, tgt, x, me, mp, c)
         gn = jax.tree_util.tree_reduce(
             lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))), grads, jnp.float32(0.0)
         )
         return (loss + gn) * 1e-30
 
-    timeit("C_loss_and_grads", grad_step)
+    timeit("C_loss_and_grads", lambda c: grad_step(params, target, clips, me, mp, c))
 
     # D/E: full train step without/with donation
     step_fn = make_train_step(encoder, predictor, tx, hp)

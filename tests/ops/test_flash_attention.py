@@ -1,26 +1,175 @@
-"""Pallas attention kernel parity (interpret mode on CPU)."""
+"""Pallas flash-attention parity (interpret mode on CPU).
+
+Covers the full kernel family against the XLA sdpa reference: plain,
+token-causal, segment-id (frame-causal), fused-RoPE (incl. partial-rotation
+heads), multi-k-block streaming, and the custom VJP."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vjepa2_tpu.ops.attention import sdpa
-from vjepa2_tpu.ops.flash_attention import flash_attention, supports
+from vjepa2_tpu.ops.flash_attention import (
+    expand_rope_tables,
+    flash_attention,
+    supports,
+)
+from vjepa2_tpu.ops.rope import apply_rope_cache, build_rope_cache
+
+
+def _qkv(B=2, N=256, H=3, D=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return tuple(
+        jnp.asarray(rng.randn(B, N, H, D), jnp.float32) for _ in range(3)
+    )
 
 
 def test_flash_matches_xla():
-    rng = np.random.RandomState(0)
-    B, N, H, D = 2, 256, 3, 64
-    q = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
-    k = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
-    v = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    q, k, v = _qkv()
     ref = sdpa(q, k, v)
-    out = flash_attention(q, k, v, block_q=128, interpret=True)
+    out = flash_attention(q, k, v, block_q=128, block_k=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_causal():
+    q, k, v = _qkv(N=128, seed=1)
+    ref = sdpa(q, k, v, is_causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=64, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_segment_ids_frame_causal():
+    """Frame-causal via per-token segment ids (AC predictor mask family)."""
+    B, N, H, D = 2, 128, 2, 32
+    q, k, v = _qkv(B, N, H, D, seed=2)
+    # 4 frames x 32 tokens, like interleaved cond+patch tokens
+    seg = jnp.tile(jnp.repeat(jnp.arange(4, dtype=jnp.int32), 32)[None], (B, 1))
+    bool_mask = seg[:, None, :, None] >= seg[:, None, None, :]  # [B,1,N,N]
+    ref = sdpa(q, k, v, attn_mask=bool_mask)
+    out = flash_attention(q, k, v, segment_ids=seg, block_q=64, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("D", [64, 32])  # 64 -> rot 60 (tail), 32 -> rot 30
+def test_flash_fused_rope(D):
+    """In-kernel RoPE == rotate-then-attend with the model's interleaved
+    convention, including the unrotated tail of the head dim."""
+    B, N, H = 2, 128, 2
+    q, k, v = _qkv(B, N, H, D, seed=3)
+    pos = jnp.asarray(np.sort(np.random.RandomState(4).choice(512, N, replace=False)))
+    cache = build_rope_cache(pos, D, h_patches=8, w_patches=8)
+    q_rot = apply_rope_cache(q, cache)
+    k_rot = apply_rope_cache(k, cache)
+    ref = sdpa(q_rot, k_rot, v)
+    out = flash_attention(
+        q, k, v, rope_tables=cache, block_q=64, block_k=64, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=2e-4)
+
+
+def test_flash_rope_per_batch_tables():
+    """[B, N, rot] tables (masked tokens: different positions per sample)."""
+    B, N, H, D = 2, 64, 2, 32
+    q, k, v = _qkv(B, N, H, D, seed=5)
+    rng = np.random.RandomState(6)
+    pos = jnp.asarray(
+        np.stack([np.sort(rng.choice(256, N, replace=False)) for _ in range(B)])
+    )
+    cache = build_rope_cache(pos, D, h_patches=4, w_patches=4)
+    ref = sdpa(apply_rope_cache(q, cache), apply_rope_cache(k, cache), v)
+    out = flash_attention(q, k, v, rope_tables=cache, block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=2e-4)
+
+
+def test_flash_vjp():
+    """Custom flash backward == XLA autodiff through the reference sdpa."""
+    B, N, H, D = 1, 128, 2, 32
+    q, k, v = _qkv(B, N, H, D, seed=7)
+    w = jnp.asarray(np.random.RandomState(8).randn(B, N, H, D), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, block_q=64, block_k=32, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_vjp_rope_segments():
+    """Backward with fused RoPE + frame-causal segments."""
+    B, N, H, D = 1, 64, 2, 32
+    q, k, v = _qkv(B, N, H, D, seed=9)
+    seg = jnp.tile(jnp.repeat(jnp.arange(4, dtype=jnp.int32), 16)[None], (B, 1))
+    pos = jnp.arange(N)
+    cache = build_rope_cache(pos, D, h_patches=4, w_patches=4)
+    w = jnp.asarray(np.random.RandomState(10).randn(B, N, H, D), jnp.float32)
+    bool_mask = seg[:, None, :, None] >= seg[:, None, None, :]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, segment_ids=seg, rope_tables=cache,
+            block_q=32, block_k=32, interpret=True,
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        out = sdpa(apply_rope_cache(q, cache), apply_rope_cache(k, cache), v,
+                   attn_mask=bool_mask)
+        return jnp.sum(out * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_expand_rope_tables_roundtrip():
+    """The split-half expansion preserves the rotation numerics exactly."""
+    from vjepa2_tpu.ops.rope import rope_angles, rotate_pairs
+
+    D, rot, N = 64, 60, 16
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(N, D), jnp.float32)
+    pos = jnp.arange(N, dtype=jnp.float32)
+    cos, sin = rope_angles(pos, rot)
+    ref_sub = x[:, :rot] * cos + rotate_pairs(x[:, :rot]) * sin
+    ref = jnp.concatenate([ref_sub, x[:, rot:]], axis=-1)
+
+    cos_f, sin_f, perm = expand_rope_tables(cos, sin, D)
+    xp = x[:, perm]
+    half = D // 2
+    rot_split = jnp.concatenate([-xp[:, half:], xp[:, :half]], axis=-1)
+    got_perm = xp * cos_f + rot_split * sin_f
+    # undo the permutation
+    inv = np.argsort(perm)
+    np.testing.assert_allclose(np.asarray(got_perm[:, inv]), np.asarray(ref), atol=1e-6)
+
+
+def test_flash_bf16():
+    q, k, v = _qkv(N=128, seed=12)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = sdpa(qb, kb, vb)
+    out = flash_attention(qb, kb, vb, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
 
 
 def test_supports_gates():
     assert supports(2048, 64, has_mask=False, is_causal=False)
-    assert not supports(2048, 64, has_mask=True, is_causal=False)
-    assert not supports(2048, 64, has_mask=False, is_causal=True)
-    assert not supports(18432 * 4, 128, has_mask=False, is_causal=False)  # KV too big for VMEM
+    assert supports(2048, 64, has_mask=True, is_causal=True)  # segment/causal OK now
+    assert supports(18432, 128, has_mask=False, is_causal=False)  # streaming: long seq OK
+    assert not supports(100, 64, has_mask=False, is_causal=False)  # unaligned N
+    assert not supports(2048, 63, has_mask=False, is_causal=False)  # odd head dim
