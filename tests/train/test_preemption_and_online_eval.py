@@ -1,0 +1,108 @@
+"""Preemption requeue + provenance dump + online probe eval wiring
+(reference `app/main_distributed.py:87-91,144-172`, `app/vjepa/utils.py:25-87`)."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+import yaml
+
+from vjepa2_tpu.core.config import PretrainConfig
+from vjepa2_tpu.core.provenance import PreemptionGuard, dump_provenance
+from vjepa2_tpu.train.loop import Pretrainer
+
+CFG = """
+app: vjepa
+folder: "{folder}"
+mesh: {{data: -1, fsdp: 1, model: 1}}
+data:
+  datasets: []
+  batch_size: 8
+  crop_size: 32
+  patch_size: 16
+  dataset_fpcs: [4]
+  tubelet_size: 2
+  num_workers: 0
+mask:
+- {{aspect_ratio: [0.75, 1.5], num_blocks: 2, spatial_scale: [0.7, 0.7], temporal_scale: [1.0, 1.0]}}
+meta: {{dtype: float32, seed: 0, load_checkpoint: true, eval_freq: 1}}
+model:
+  model_name: vit_tiny
+  pred_depth: 1
+  pred_embed_dim: 64
+  pred_num_heads: 2
+  use_mask_tokens: true
+  use_rope: true
+optimization:
+  ema: [0.99, 0.99]
+  epochs: 2
+  ipe: 4
+  lr: 0.001
+  start_lr: 0.001
+  final_lr: 0.001
+  warmup: 0
+  weight_decay: 0.01
+  final_weight_decay: 0.01
+"""
+
+EVAL_CFG = """
+eval_name: video_classification_frozen
+tag: online-smoke
+experiment:
+  classifier: {num_heads: 2, num_probe_blocks: 1}
+  data: {num_classes: 3}
+  optimization:
+    batch_size: 2
+    multihead_kwargs:
+    - {lr: 0.01, start_lr: 0.01, final_lr: 0.0, weight_decay: 0.001, warmup: 0.0}
+model_kwargs: {module_name: null}
+"""
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    raw = yaml.safe_load(CFG.format(folder=str(tmp_path / "run")))
+    return PretrainConfig.from_dict(raw)
+
+
+def test_preemption_checkpoints_and_resumes(cfg):
+    guard = PreemptionGuard(install=False)
+    t = Pretrainer(cfg, synthetic_data=True)
+    guard._handler(signal.SIGTERM)  # simulate the signal mid-run
+    out = t.run(epochs=2, preemption_guard=guard)
+    assert out["preempted"] is True
+    saved = t.ckpt.latest_step()
+    assert saved == out["step"] >= 1
+
+    # requeue: fresh trainer resumes from the mid-epoch checkpoint and finishes
+    t2 = Pretrainer(cfg, synthetic_data=True)
+    out2 = t2.run(epochs=2, preemption_guard=PreemptionGuard(install=False))
+    assert out2["preempted"] is False
+    assert out2["step"] == 8
+    assert np.isfinite(out2["loss"])
+
+
+def test_provenance_dump(cfg, tmp_path):
+    folder = str(tmp_path / "prov")
+    dump_provenance(folder, {"app": "vjepa", "x": 1}, app="vjepa")
+    params = yaml.safe_load(open(os.path.join(folder, "params-vjepa.yaml")))
+    assert params == {"app": "vjepa", "x": 1}
+    git_info = open(os.path.join(folder, "git-info.txt")).read()
+    assert "commit:" in git_info
+    env = open(os.path.join(folder, "env-info.txt")).read()
+    assert "jax:" in env and "device:" in env
+
+
+def test_online_eval_emits_probe_metrics(cfg, tmp_path):
+    eval_yaml = tmp_path / "online_eval.yaml"
+    eval_yaml.write_text(EVAL_CFG)
+    cfg.evals = [str(eval_yaml)]
+    t = Pretrainer(cfg, synthetic_data=True)
+    assert t.online_eval is not None
+    out = t.run(epochs=1)
+    assert np.isfinite(out["loss"])
+    csv_path = os.path.join(cfg.folder, "eval_log_r0.csv")
+    assert os.path.exists(csv_path)
+    lines = open(csv_path).read().strip().splitlines()
+    assert any("online-smoke" in ln for ln in lines[1:])

@@ -88,6 +88,48 @@ def build_encoder(model_kwargs: dict, resolution: int, fpc: int, checkpoint=None
     return enc, params
 
 
+def make_video_eval_loaders(data_c, batch_size, fpc, res, num_clips, num_classes, ipe,
+                            synthetic=False):
+    """(train, val) loaders for probe evals; synthetic when paths unset."""
+    if synthetic or not data_c.get("dataset_train"):
+        return (
+            SyntheticEvalLoader(batch_size, num_clips, fpc, res, num_classes, ipe),
+            SyntheticEvalLoader(batch_size, num_clips, fpc, res, num_classes,
+                                max(1, ipe // 4), seed=1),
+        )
+    import jax
+
+    from vjepa2_tpu.data.loader import DataLoader
+    from vjepa2_tpu.data.samplers import DistributedSampler
+    from vjepa2_tpu.data.transforms import VideoTransform
+    from vjepa2_tpu.data.video_dataset import VideoDataset
+
+    def make(path, train):
+        ds = VideoDataset(
+            data_paths=[path],
+            frames_per_clip=fpc,
+            frame_step=data_c.get("frame_step", 4),
+            fps=None,
+            num_clips=num_clips,
+            transform=VideoTransform(crop_size=res, horizontal_flip=train),
+        )
+        sampler = DistributedSampler(
+            len(ds), jax.process_count(), jax.process_index(), shuffle=train
+        )
+
+        def collate(samples):
+            clips = np.stack([np.stack(s[0]) for s in samples])  # [B, nc, T, S, S, 3]
+            labels = np.asarray([s[1] for s in samples])
+            ci = np.stack([np.stack([np.asarray(c) for c in s[2]]) for s in samples])
+            return clips, labels, ci
+
+        return DataLoader(ds, sampler, batch_size, num_workers=data_c.get("num_workers", 4),
+                          collate_fn=collate, epoch_len=ipe if train else None,
+                          rank=jax.process_index())
+
+    return make(data_c["dataset_train"], True), make(data_c["dataset_val"], False)
+
+
 def run_video_classification(cfg: dict, args) -> dict:
     exp = cfg["experiment"]
     data_c = exp["data"]
@@ -141,41 +183,10 @@ def run_video_classification(cfg: dict, args) -> dict:
         extract_fn=extract,
     )
 
-    if args.synthetic_data or "dataset_train" not in data_c:
-        train_loader = SyntheticEvalLoader(batch_size, num_clips, fpc, res, num_classes, ipe)
-        val_loader = SyntheticEvalLoader(batch_size, num_clips, fpc, res, num_classes, max(1, ipe // 4), seed=1)
-    else:
-        from vjepa2_tpu.data.loader import DataLoader
-        from vjepa2_tpu.data.samplers import DistributedSampler
-        from vjepa2_tpu.data.transforms import VideoTransform
-        from vjepa2_tpu.data.video_dataset import VideoDataset
-
-        def make(path, train):
-            ds = VideoDataset(
-                data_paths=[path],
-                frames_per_clip=fpc,
-                frame_step=data_c.get("frame_step", 4),
-                fps=None,
-                num_clips=num_clips,
-                transform=VideoTransform(crop_size=res, horizontal_flip=train),
-            )
-            import jax
-
-            sampler = DistributedSampler(
-                len(ds), jax.process_count(), jax.process_index(), shuffle=train
-            )
-
-            def collate(samples):
-                clips = np.stack([np.stack(s[0]) for s in samples])  # [B, nc, T, S, S, 3]
-                labels = np.asarray([s[1] for s in samples])
-                ci = np.stack([np.stack([np.asarray(c) for c in s[2]]) for s in samples])
-                return clips, labels, ci
-
-            return DataLoader(ds, sampler, batch_size, num_workers=data_c.get("num_workers", 4),
-                              collate_fn=collate, epoch_len=ipe if train else None)
-
-        train_loader = make(data_c["dataset_train"], True)
-        val_loader = make(data_c["dataset_val"], False)
+    train_loader, val_loader = make_video_eval_loaders(
+        data_c, batch_size, fpc, res, num_clips, num_classes, ipe,
+        synthetic=args.synthetic_data,
+    )
 
     val_only = args.val_only or bool(cfg.get("val_only", False))
     probe_ckpt = (cfg.get("model_kwargs", {}) or {}).get("probe_checkpoint")

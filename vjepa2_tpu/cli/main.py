@@ -23,10 +23,16 @@ logger = get_logger(__name__, force=True)
 
 
 def run_vjepa(cfg: PretrainConfig, args) -> dict:
+    from vjepa2_tpu.core.provenance import PreemptionGuard
     from vjepa2_tpu.train.loop import Pretrainer
 
     trainer = Pretrainer(cfg, synthetic_data=args.synthetic_data)
-    return trainer.run(epochs=args.epochs)
+    result = trainer.run(epochs=args.epochs, preemption_guard=PreemptionGuard())
+    if result.get("preempted"):
+        # non-zero exit signals the batch wrapper to requeue; the restarted
+        # run resumes from the checkpoint just written (load_checkpoint)
+        raise SystemExit(75)  # EX_TEMPFAIL
+    return result
 
 
 def run_vjepa_droid(cfg: PretrainConfig, args) -> dict:
@@ -69,6 +75,9 @@ def main(argv=None):
     if app not in APPS:
         raise SystemExit(f"unknown app '{app}'; available: {', '.join(APPS)}")
     logger.info("loaded config:\n%s", pprint.pformat(raw)[:2000])
+    from vjepa2_tpu.core.provenance import dump_provenance
+
+    dump_provenance(cfg.folder, raw, app=app)
     result = APPS[app](cfg, args)
     logger.info("done: %s", result)
     return result

@@ -120,6 +120,7 @@ class MeshSection:
 class PretrainConfig:
     app: str = "vjepa"
     folder: str = "./runs/default"
+    evals: list = field(default_factory=list)  # eval YAMLs run online at eval_freq
     data: DataConfig = field(default_factory=DataConfig)
     data_aug: DataAugConfig = field(default_factory=DataAugConfig)
     loss: LossConfig = field(default_factory=LossConfig)
@@ -134,6 +135,7 @@ class PretrainConfig:
         return cls(
             app=d.get("app", "vjepa"),
             folder=d.get("folder", "./runs/default"),
+            evals=d.get("evals", []) or [],
             data=DataConfig(**_filter_kwargs(DataConfig, d.get("data", {}) or {})),
             data_aug=DataAugConfig(**_filter_kwargs(DataAugConfig, d.get("data_aug", {}) or {})),
             loss=LossConfig(**_filter_kwargs(LossConfig, d.get("loss", {}) or {})),

@@ -125,6 +125,13 @@ class Pretrainer:
         self.ckpt = CheckpointManager(os.path.join(c.folder, "ckpt"))
         self._step_fns: dict[int, object] = {}
 
+        if c.evals:
+            # in-process probe evals at eval_freq (reference schedules eval
+            # jobs from the pretrain config's `evals` list, utils.py:25-87)
+            from vjepa2_tpu.evals.online import make_online_eval
+
+            self.online_eval = make_online_eval(c.evals)
+
     # -- data ---------------------------------------------------------------
     def make_loader(self):
         c = self.cfg
@@ -207,10 +214,12 @@ class Pretrainer:
         return self._step_fns[fpc]
 
     # -- loop ---------------------------------------------------------------
-    def run(self, epochs: Optional[int] = None, log_every: int = 10) -> dict:
+    def run(self, epochs: Optional[int] = None, log_every: int = 10,
+            preemption_guard=None) -> dict:
         c = self.cfg
         epochs = epochs if epochs is not None else self.hp.epochs
         state = self.restore_or_init()
+        preempted = False
         csv = CSVLogger(
             os.path.join(c.folder, f"log_r{jax.process_index()}.csv"),
             ("%d", "epoch"),
@@ -219,6 +228,8 @@ class Pretrainer:
             ("%.2f", "iter_ms"),
         )
         start_epoch = int(state.step) // self.hp.ipe
+        # mid-epoch resume (preemption): skip the iterations already trained
+        skip_itrs = int(state.step) % self.hp.ipe
         last_loss = float("nan")
         for epoch in range(start_epoch, epochs):
             loader = self.make_loader()
@@ -253,8 +264,16 @@ class Pretrainer:
                 return clips, tuple(me), tuple(mp)
 
             _np_dtype = np.float32 if self.dtype == jnp.float32 else jnp.bfloat16
+            start_itr = 0
+            if epoch == start_epoch and skip_itrs:
+                # consume already-trained batches without touching the mask
+                # collator (set_step already positioned it at the restored step)
+                import itertools
+
+                loader = itertools.islice(iter(loader), skip_itrs, None)
+                start_itr = skip_itrs
             for itr, (clips, masks_enc, masks_pred) in enumerate(
-                device_prefetch(loader, size=2, transform=stage)
+                device_prefetch(loader, size=2, transform=stage), start=start_itr
             ):
                 fpc = clips.shape[1]
                 step_fn = self._step_fn(fpc)
@@ -266,9 +285,18 @@ class Pretrainer:
                         "epoch %d itr %d loss %.4f (avg %.4f) %.0f ms",
                         epoch, itr, loss_meter.val, loss_meter.avg, time_meter.avg,
                     )
+                if preemption_guard is not None and preemption_guard.should_stop:
+                    # checkpoint mid-epoch and hand control back for requeue
+                    # (reference: submitit checkpoint() + resume_preempt,
+                    # `app/main_distributed.py:87-91`)
+                    preempted = True
+                    break
             drain()
             last_loss = loss_meter.avg
             self.ckpt.save(int(state.step), state, wait=True)
+            if preempted:
+                logger.warning("preempted at step %d; checkpoint saved", int(state.step))
+                return {"loss": last_loss, "step": int(state.step), "preempted": True}
             if (
                 self.cfg.meta.eval_freq
                 and (epoch + 1) % self.cfg.meta.eval_freq == 0
@@ -278,6 +306,12 @@ class Pretrainer:
                 # spawns eval jobs at eval_freq, `app/vjepa/utils.py:25-87`)
                 metrics = self.online_eval(self.encoder, state.target_params, epoch)
                 logger.info("online eval @ epoch %d: %s", epoch, metrics)
-        return {"loss": last_loss, "step": int(state.step)}
+                eval_csv = CSVLogger(
+                    os.path.join(c.folder, f"eval_log_r{jax.process_index()}.csv"),
+                    ("%d", "epoch"), ("%s", "tag"), ("%.5f", "top1"),
+                )
+                for tag_i, top1 in metrics.items():
+                    eval_csv.log(epoch, tag_i, float(top1))
+        return {"loss": last_loss, "step": int(state.step), "preempted": False}
 
     online_eval = None  # optional callable(encoder, target_params, epoch) -> dict
