@@ -40,11 +40,14 @@ def test_disjoint_and_in_range():
 
 
 def test_coverage_ratio_sane():
-    # config 1 of the ViT-L pretrain yaml: 8 blocks @ 0.15 spatial
+    # config 1 of the ViT-L pretrain yaml: 8 blocks @ 0.15 spatial.
+    # Static lengths track the reference's batch-min-truncated statistic
+    # (mean union is ~0.728, but the per-batch minimum the reference
+    # actually trains on is ~0.52 at bs 8) — bound asserted precisely in
+    # tests/masks/test_deviation_quantified.py.
     g = make_gen()
     frac = g.pred_len / g.num_tokens
-    # analytic union: 1 - 0.85^8 ~= 0.728
-    assert 0.6 < frac < 0.85
+    assert 0.4 < frac < 0.65
 
 
 def test_seed_determinism():

@@ -86,33 +86,41 @@ class MaskGenerator:
         self.ctx_len, self.pred_len = self._static_lengths()
 
     # -- static length budget -------------------------------------------------
-    def _mean_block_dims(self) -> tuple[int, int, int]:
-        cfg = self.cfg
-        t_scale = 0.5 * (cfg.temporal_scale[0] + cfg.temporal_scale[1])
-        s_scale = 0.5 * (cfg.spatial_scale[0] + cfg.spatial_scale[1])
-        ar = 0.5 * (cfg.aspect_ratio[0] + cfg.aspect_ratio[1])
-        t = max(1, int(self.duration * t_scale))
-        spatial_keep = int(self.height * self.width * s_scale)
-        h = min(int(round(math.sqrt(spatial_keep * ar))), self.height)
-        w = min(int(round(math.sqrt(spatial_keep / ar))), self.width)
-        return t, h, w
+    def _static_lengths(self, mc_steps: int = 96, nominal_batch: int = 8) -> tuple[int, int]:
+        """Token budget matched to the reference's *effective* statistics.
 
-    def _static_lengths(self) -> tuple[int, int]:
-        """Expected-coverage token budget: pred = N * (1 - (1 - f)^npred)
-        where f is one block's token fraction (independent placements)."""
-        t, h, w = self._mean_block_dims()
-        # context can only live in the first max_context_duration frames;
-        # frames beyond it are force-covered (reference `_sample_block_mask`).
-        ctx_frames = self.max_context_duration
-        frac_spatial = (h * w) / (self.height * self.width)
-        frac_t = t / self.duration
-        f = frac_spatial * frac_t
-        union = 1.0 - (1.0 - f) ** self.cfg.num_blocks
-        covered_est = union * self.num_tokens
-        forced = (self.duration - ctx_frames) * self.height * self.width
-        covered_est = min(self.num_tokens, covered_est + forced * (1 - union))
-        pred_len = max(1, int(round(covered_est)))
-        ctx_len = max(1, self.num_tokens - pred_len)
+        The reference truncates both index lists to the per-batch minimum
+        (`multiseq_multiblock3d.py:211-215`), so its effective lengths are
+        the batch-min of the union coverage — substantially below the mean
+        coverage for multi-block configs (e.g. 8 blocks @ 0.15 spatial: mean
+        union ~0.70N but batch-min ~0.53N at bs 8). We Monte-Carlo that
+        statistic once at construction (config-deterministic seed) and fix
+        (ctx_len, pred_len) to the mean batch-min; the deviation bound is
+        asserted in `tests/masks/test_deviation_quantified.py`.
+        """
+        rng = np.random.default_rng((self.num_tokens, self.cfg.num_blocks))
+        D, H, W = self.duration, self.height, self.width
+        min_ctx, min_pred = [], []
+        for _ in range(mc_steps):
+            t, h, w = self._sample_block_size(rng)
+            step_min_c = step_min_p = self.num_tokens
+            for _ in range(nominal_batch):
+                covered = np.zeros((D, H, W), dtype=bool)
+                for _ in range(self.cfg.num_blocks):
+                    top = rng.integers(0, H - h + 1)
+                    left = rng.integers(0, W - w + 1)
+                    start = rng.integers(0, D - t + 1)
+                    covered[start : start + t, top : top + h, left : left + w] = True
+                if self.max_context_duration < D:
+                    covered[self.max_context_duration :, :, :] = True
+                n_cov = int(covered.sum())
+                n_cov = min(max(n_cov, 1), self.num_tokens - 1)
+                step_min_p = min(step_min_p, n_cov)
+                step_min_c = min(step_min_c, self.num_tokens - n_cov)
+            min_ctx.append(step_min_c)
+            min_pred.append(step_min_p)
+        ctx_len = max(1, int(round(float(np.mean(min_ctx)))))
+        pred_len = max(1, int(round(float(np.mean(min_pred)))))
         if self.cfg.max_keep is not None:
             ctx_len = min(ctx_len, int(self.cfg.max_keep))
         if self.cfg.full_complement:
@@ -194,12 +202,12 @@ class MaskGenerator:
                 ctx_idx = np.sort(np.concatenate([ctx_idx, pred_idx[take]]))
                 pred_idx = np.delete(pred_idx, take)
 
+            # keep-lowest-index truncation, matching the reference's
+            # ``cm[:min_keep]`` bias (`multiseq_multiblock3d.py:211-215`)
             if len(ctx_idx) > self.ctx_len:
-                keep = place_rng.choice(len(ctx_idx), size=self.ctx_len, replace=False)
-                ctx_idx = np.sort(ctx_idx[keep])
+                ctx_idx = ctx_idx[: self.ctx_len]
             if len(pred_idx) > self.pred_len:
-                keep = place_rng.choice(len(pred_idx), size=self.pred_len, replace=False)
-                pred_idx = np.sort(pred_idx[keep])
+                pred_idx = pred_idx[: self.pred_len]
 
             ctx_batch[b] = ctx_idx
             pred_batch[b] = pred_idx
