@@ -196,3 +196,39 @@ def test_epickitchens_anticipation(video_manifest, tmp_path):
     clips, at, v, n, a = anticipation_collate([ds[i] for i in range(3)])
     assert clips.shape == (3, 4, 32, 32, 3) and at.shape == (3,)
     assert set(a.tolist()) <= ds.valid_action_classes()
+
+
+def test_circulant_frame_padding():
+    from vjepa2_tpu.data.transforms import circulant_frame_padding
+
+    clip = np.arange(3 * 2 * 2 * 3, dtype=np.uint8).reshape(3, 2, 2, 3)
+    out = circulant_frame_padding(clip, 8)
+    assert out.shape[0] == 8
+    np.testing.assert_array_equal(out[3], clip[0])
+    np.testing.assert_array_equal(out[7], clip[1])
+    np.testing.assert_array_equal(circulant_frame_padding(clip, 2), clip[:2])
+
+
+def test_color_jitter_clip_consistent():
+    from vjepa2_tpu.data.transforms import color_jitter
+
+    rng = np.random.default_rng(0)
+    clip = (np.random.RandomState(0).rand(4, 8, 8, 3) * 255).astype(np.uint8)
+    out = color_jitter(clip, rng)
+    assert out.shape == clip.shape and out.dtype == np.uint8
+    # same op applied to all frames: per-frame ratio of means is constant
+    r = out.astype(np.float32).mean(axis=(1, 2, 3)) / clip.astype(np.float32).mean(axis=(1, 2, 3))
+    assert np.allclose(r, r[0], rtol=0.35)  # saturation/contrast vary per content
+    # deterministic under a fixed rng
+    out2 = color_jitter(clip, np.random.default_rng(0))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_video_transform_jitter_and_padding():
+    from vjepa2_tpu.data.transforms import VideoTransform
+
+    t = VideoTransform(crop_size=16, color_jitter_strength=0.4, pad_frames=8,
+                       use_native=False)
+    clip = (np.random.RandomState(1).rand(3, 32, 32, 3) * 255).astype(np.uint8)
+    out = t(clip, rng=np.random.default_rng(0))
+    assert out.shape == (8, 16, 16, 3)

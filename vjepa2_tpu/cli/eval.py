@@ -366,11 +366,14 @@ def run_action_anticipation(cfg: dict, args) -> dict:
 
         train_batches, val_batches = make(train_ds, True), make(val_ds, False)
 
+    # single-probe runner: take lr/wd directly or the first grid entry
+    grid0 = (opt_c.get("multihead_kwargs") or [{}])[0]
     ev = AnticipationEval(
         encoder, enc_params, predictor, pred_params,
         num_verbs=nv, num_nouns=nn_, num_actions=na,
         frames_per_second=fps, grid_size=hp, h_patches=hp, w_patches=hp,
-        lr=float(opt_c.get("lr", 1e-3)), weight_decay=float(opt_c.get("weight_decay", 0.01)),
+        lr=float(opt_c.get("lr", grid0.get("lr", 1e-3))),
+        weight_decay=float(opt_c.get("weight_decay", grid0.get("weight_decay", 0.01))),
     )
     loss = float("nan")  # stays NaN if the loader yields nothing
     for epoch in range(epochs):

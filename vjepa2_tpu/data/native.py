@@ -16,10 +16,34 @@ _LIB: Optional[ctypes.CDLL] = None
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_native", "libhost_ops.so")
 
 
+def _build_if_possible() -> None:
+    """One-shot on-demand build (the .so is a build artifact, not in git)."""
+    import shutil
+    import subprocess
+
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native", "host_ops.cpp",
+    )
+    if not os.path.exists(src) or shutil.which("g++") is None:
+        return
+    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             src, "-o", _LIB_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
+    if not os.path.exists(_LIB_PATH):
+        _build_if_possible()
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)

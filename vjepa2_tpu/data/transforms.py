@@ -71,6 +71,52 @@ def _sample_crop_box(H, W, scale, ratio, rng):
     return (H - h) // 2, (W - w) // 2, h, w
 
 
+def circulant_frame_padding(clip: np.ndarray, target_frames: int) -> np.ndarray:
+    """Cyclically repeat a short clip to ``target_frames``
+    (reference `src/datasets/utils/video/transforms.py:654`)."""
+    T = clip.shape[0]
+    if T >= target_frames:
+        return clip[:target_frames]
+    idx = np.arange(target_frames) % T
+    return clip[idx]
+
+
+def color_jitter(
+    clip: np.ndarray,
+    rng: np.random.Generator,
+    brightness: float = 0.4,
+    contrast: float = 0.4,
+    saturation: float = 0.4,
+) -> np.ndarray:
+    """Clip-consistent color jitter (reference `transforms.py:ColorJitter`
+    semantics: one parameter draw per clip, random op order). Operates on
+    float32 [T, H, W, 3] in [0, 1] (or uint8, converted)."""
+    x = clip.astype(np.float32)
+    if clip.dtype == np.uint8:
+        x = x / 255.0
+    ops = []
+    if brightness > 0:
+        b = float(rng.uniform(max(0.0, 1 - brightness), 1 + brightness))
+        ops.append(lambda y: y * b)
+    if contrast > 0:
+        c = float(rng.uniform(max(0.0, 1 - contrast), 1 + contrast))
+        ops.append(lambda y: (y - y.mean()) * c + y.mean())
+    if saturation > 0:
+        s = float(rng.uniform(max(0.0, 1 - saturation), 1 + saturation))
+
+        def _sat(y, s=s):
+            gray = y @ np.asarray([0.299, 0.587, 0.114], np.float32)
+            return gray[..., None] + (y - gray[..., None]) * s
+
+        ops.append(_sat)
+    order = rng.permutation(len(ops))
+    for i in order:
+        x = ops[i](x)
+    x = np.clip(x, 0.0, 1.0)
+    return (x * 255.0).astype(np.uint8) if clip.dtype == np.uint8 else x
+
+
+
 @dataclass
 class VideoTransform:
     """Pretrain-time augmentation (reference `app/vjepa/transforms.py:37-116`).
@@ -93,6 +139,8 @@ class VideoTransform:
     auto_augment: bool = False
     aa_config: str = "rand-m7-n4-mstd0.5"
     rand_erase_prob: float = 0.0
+    color_jitter_strength: float = 0.0  # clip-consistent brightness/contrast/saturation
+    pad_frames: Optional[int] = None  # circulant-pad short clips to this length
 
     def __post_init__(self):
         self.mean = IMAGENET_MEAN if self.mean is None else np.asarray(self.mean, np.float32)
@@ -124,8 +172,13 @@ class VideoTransform:
     def __call__(self, clip: np.ndarray, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """clip: [T, H, W, C] uint8 -> [T, S, S, C] float32 normalized."""
         rng = rng or np.random.default_rng()
+        if self.pad_frames is not None:
+            clip = circulant_frame_padding(clip, self.pad_frames)
         if self._rand_augment is not None and clip.dtype == np.uint8:
             clip = self._rand_augment(clip, rng=rng)
+        if self.color_jitter_strength > 0:
+            s = self.color_jitter_strength
+            clip = color_jitter(clip, rng, brightness=s, contrast=s, saturation=s)
         T, H, W, C = clip.shape
         top, left, h, w = _sample_crop_box(H, W, self.random_resize_scale, self.random_resize_aspect_ratio, rng)
 
