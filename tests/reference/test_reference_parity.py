@@ -230,19 +230,18 @@ def test_make_vjepa2_model_wiring():
     check the full encode->predict chain end to end."""
     ref_backbones = import_reference_backbones()
     torch.manual_seed(4)
+    # full-size hub build (the factories pin depth/width); inputs stay tiny
     r_enc, r_pred = ref_backbones._make_vjepa2_model(
         model_name="vit_large", img_size=S, num_frames=T, pretrained=False,
-        depth=2, num_heads=8,  # predictor depth/heads shrunk for CPU speed
     )
     r_enc.eval()
     r_pred.eval()
-    # NB: **kwargs flow to both builders; depth=2 also shrinks the encoder.
     enc = MODEL_REGISTRY["vit_large"](
-        img_size=(S, S), num_frames=T, tubelet_size=2, use_rope=True, depth=2, num_heads=8
+        img_size=(S, S), num_frames=T, tubelet_size=2, use_rope=True
     )
     pred = vit_predictor(
         img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
-        embed_dim=1024, predictor_embed_dim=384, depth=2, num_heads=8,
+        embed_dim=1024, predictor_embed_dim=384, depth=12, num_heads=12,
         use_mask_tokens=True, num_mask_tokens=10, use_rope=True,
     )
     enc_params = convert_encoder(r_enc.state_dict())

@@ -37,6 +37,7 @@ class VisionTransformerPredictorAC(nn.Module):
     wide_silu: bool = True
     is_frame_causal: bool = True
     use_rope: bool = True
+    use_flash: bool = False
     use_activation_checkpointing: bool = False
     action_embed_dim: int = 7
     use_extrinsics: bool = False
@@ -98,6 +99,7 @@ class VisionTransformerPredictorAC(nn.Module):
                 wide_silu=self.wide_silu,
                 grid_size=gh,
                 is_frame_causal=self.is_frame_causal,
+                use_flash=self.use_flash,
                 layer_id=i,
                 dtype=self.dtype,
                 init_std=self.init_std,

@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vjepa2_tpu.ops.attention import sdpa
+from vjepa2_tpu.ops.attention import attend, sdpa
 from vjepa2_tpu.ops.rope import (
     apply_rope_cache,
     build_rope_cache,
@@ -193,17 +193,25 @@ class Attention(nn.Module):
         B, N, C = x.shape
         q, k, v = _qkv(x, self.dim, self.num_heads, self.qkv_bias, self.dtype, self.init_std)
 
-        if self.use_rope:
-            if rope_cache is None:
-                assert pos_ids is not None and h_patches is not None and w_patches is not None
-                rope_cache = build_rope_cache(
-                    pos_ids, self.dim // self.num_heads, h_patches, w_patches,
-                    grid_size=self.grid_size,
-                )
-            q = apply_rope_cache(q, rope_cache)
-            k = apply_rope_cache(k, rope_cache)
+        if self.use_rope and rope_cache is None:
+            assert pos_ids is not None and h_patches is not None and w_patches is not None
+            rope_cache = build_rope_cache(
+                pos_ids, self.dim // self.num_heads, h_patches, w_patches,
+                grid_size=self.grid_size,
+            )
 
-        out = sdpa(q, k, v, attn_mask=attn_mask, is_causal=self.is_causal, use_flash=self.use_flash)
+        if attn_mask is None and not self.is_causal:
+            # RoPE rides into the kernel when the flash path is enabled
+            out = attend(
+                q, k, v,
+                rope_cache=rope_cache if self.use_rope else None,
+                use_flash=self.use_flash,
+            )
+        else:
+            if self.use_rope:
+                q = apply_rope_cache(q, rope_cache)
+                k = apply_rope_cache(k, rope_cache)
+            out = sdpa(q, k, v, attn_mask=attn_mask, is_causal=self.is_causal)
         out = out.reshape(B, N, C)
         return nn.Dense(
             self.dim,
@@ -260,6 +268,7 @@ class ACAttention(nn.Module):
     qkv_bias: bool = True
     grid_size: int = 16
     is_frame_causal: bool = True
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
     proj_init_scale: float = 1.0
@@ -276,15 +285,16 @@ class ACAttention(nn.Module):
             rope_cache = build_ac_rope_cache(
                 self.dim // self.num_heads, T, h_patches, w_patches, A, self.grid_size
             )
-        q = apply_rope_cache(q, rope_cache)
-        k = apply_rope_cache(k, rope_cache)
 
-        attn_mask = None
+        # frame-causal = per-token frame-id segments (O(N), kernel-friendly)
+        segment_ids = None
         if self.is_frame_causal:
-            frame_of = jnp.repeat(jnp.arange(T, dtype=jnp.float32), A + HW)  # [N]
-            attn_mask = frame_of[:, None] >= frame_of[None, :]  # [N, N] bool
+            segment_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), A + HW)  # [N]
 
-        out = sdpa(q, k, v, attn_mask=attn_mask).reshape(B, N, C)
+        out = attend(
+            q, k, v, rope_cache=rope_cache, segment_ids=segment_ids,
+            use_flash=self.use_flash,
+        ).reshape(B, N, C)
         return nn.Dense(
             self.dim,
             dtype=self.dtype,
@@ -387,6 +397,7 @@ class ACBlock(nn.Module):
     wide_silu: bool = True
     grid_size: int = 16
     is_frame_causal: bool = True
+    use_flash: bool = False
     layer_id: int = 0
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
@@ -402,6 +413,7 @@ class ACBlock(nn.Module):
             qkv_bias=self.qkv_bias,
             grid_size=self.grid_size,
             is_frame_causal=self.is_frame_causal,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             init_std=self.init_std,
             proj_init_scale=rescale,

@@ -56,11 +56,11 @@ def sdpa(
     isn't supported. implementation="library" selects
     jax.nn.dot_product_attention instead of the fused manual path.
     """
-    if use_flash and scale is None:
+    if use_flash and scale is None and attn_mask is None and not is_causal:
         from vjepa2_tpu.ops import flash_attention as fa
 
         n, d = q.shape[1], q.shape[-1]
-        if fa.supports(n, d, attn_mask is not None, is_causal):
+        if fa.supports(n, d, False, False):
             return fa.flash_attention(q, k, v)
     if implementation == "library":
         if attn_mask is not None:
@@ -70,3 +70,44 @@ def sdpa(
             q, k, v, mask=attn_mask, is_causal=is_causal, scale=scale, implementation="xla"
         )
     return _manual_sdpa(q, k, v, attn_mask, is_causal, scale)
+
+
+def attend(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rope_cache=None,
+    segment_ids: jnp.ndarray | None = None,
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    """RoPE + (frame-)causal attention with kernel dispatch.
+
+    q, k, v: [B, N, H, D] UNROTATED. rope_cache: (cos, sin) in the model's
+    interleaved-pair convention ([N, rot] or [B, N, rot]). segment_ids:
+    [N] or [B, N] int; token i attends to j iff seg[i] >= seg[j].
+
+    With ``use_flash`` and a supported shape this runs the Pallas streaming
+    kernel (RoPE fused, O(N) mask, custom VJP); otherwise RoPE is applied in
+    XLA and the fused-softmax sdpa handles the boolean mask.
+    """
+    from vjepa2_tpu.ops.rope import apply_rope_cache
+
+    n, d = q.shape[1], q.shape[-1]
+    if use_flash:
+        from vjepa2_tpu.ops import flash_attention as fa
+
+        if fa.supports(n, d, segment_ids is not None, False):
+            seg = segment_ids
+            if seg is not None:
+                if seg.ndim == 1:
+                    seg = jnp.broadcast_to(seg[None], (q.shape[0], n))
+                seg = seg.astype(jnp.int32)
+            return fa.flash_attention(q, k, v, segment_ids=seg, rope_tables=rope_cache)
+    if rope_cache is not None:
+        q = apply_rope_cache(q, rope_cache)
+        k = apply_rope_cache(k, rope_cache)
+    attn_mask = None
+    if segment_ids is not None:
+        seg_q = segment_ids if segment_ids.ndim > 1 else segment_ids[None]
+        attn_mask = seg_q[:, None, :, None] >= seg_q[:, None, None, :]  # [B|1,1,N,N]
+    return _manual_sdpa(q, k, v, attn_mask, False, None)

@@ -526,6 +526,16 @@ def expand_rope_tables(cos, sin, head_dim: int):
     return cos_full, sin_full, perm
 
 
+def pick_block(n: int, target: int) -> int:
+    """Largest divisor of ``n`` that is <= target and a multiple of 8
+    (the f32 sublane tile), falling back to the largest divisor."""
+    best = 1
+    for b in range(1, min(n, target) + 1):
+        if n % b == 0 and (b % 8 == 0 or best < 8):
+            best = max(best, b)
+    return best
+
+
 def flash_attention_bhnd(
     q, k, v,
     segment_ids=None,
@@ -556,6 +566,11 @@ def flash_attention_bhnd(
     else:
         qp, kp = q, k
 
+    n, m = q.shape[2], k.shape[2]
+    if n % min(block_q, n) != 0:
+        block_q = pick_block(n, block_q)
+    if m % min(block_k, m) != 0:
+        block_k = pick_block(m, block_k)
     out = _flash_attention_core(
         qp, kp, v, segment_ids, qcos, qsin, kcos, ksin,
         causal, scale, block_q, block_k, interpret,
@@ -586,10 +601,9 @@ def flash_attention(
 def supports(n: int, d: int, has_mask: bool, is_causal: bool,
              block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K) -> bool:
     """Shapes the kernels handle (hardware gate; tunnel hang documented)."""
-    if n % 128 != 0:  # lane-aligned blocks only (conservative hardware gate)
+    if n % 8 != 0:  # sublane-tile alignment; blocks adapt via pick_block
         return False
-    bq, bk = min(block_q, n), min(block_k, n)
-    if n % bq != 0 or n % bk != 0:
+    if pick_block(n, block_q) < 8 or pick_block(n, block_k) < 8:
         return False
     if d % 2 != 0 or d > 256:
         return False
