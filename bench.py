@@ -61,24 +61,37 @@ def chip_peak_tflops() -> float:
     return PEAK_BF16_TFLOPS.get(kind, 1.0)
 
 
-def measured_peak_tflops(n: int = 8192, steps: int = 8) -> float:
-    """Empirical bf16 matmul ceiling on THIS device/stack."""
+_PEAK_CACHE: list = []
+
+
+def measured_peak_tflops(n: int = 8192, iters: int = 16, reps: int = 2) -> float:
+    """Empirical bf16 matmul ceiling on THIS device/stack.
+
+    The matmul chain runs inside ONE jitted fori_loop per dispatch, so a
+    contended host CPU (concurrent test runs, data workers) cannot starve
+    the device and fake a low ceiling — per-step Python dispatch did exactly
+    that in BENCH-headline shakeout (29 "TFLOPS" with pytest running).
+    """
+    if _PEAK_CACHE:
+        return _PEAK_CACHE[0]
     k = jax.random.PRNGKey(0)
     a = jax.random.normal(k, (n, n), jnp.bfloat16)
     b = jax.random.normal(k, (n, n), jnp.bfloat16)
 
     @jax.jit
-    def mm(x, y):
-        return (x @ y) * 1e-4
+    def chain(x, y):
+        return jax.lax.fori_loop(0, iters, lambda i, v: (v @ y) * 1e-4, x)
 
-    x = mm(a, b)
-    float(x[0, 0])
+    x = chain(a, b)
+    float(x[0, 0])  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(steps):
-        x = mm(x, b)
+    for _ in range(reps):
+        x = chain(x, b)
     float(x[0, 0])
-    dt = (time.perf_counter() - t0) / steps
-    return 2 * n**3 / dt / 1e12
+    dt = (time.perf_counter() - t0) / (iters * reps)
+    peak = 2 * n**3 / dt / 1e12
+    _PEAK_CACHE.append(peak)
+    return peak
 
 
 def encoder_flops(embed_dim, depth, mlp_ratio, n_tokens, patch_size=16, tubelet=2) -> float:
@@ -277,8 +290,11 @@ def bench_pretrain(args, n_runs: int = 2):
 
 
 def bench_headline(args):
-    """Driver default: ceiling x2 + ViT-g encode + ViT-L pretrain, one line."""
-    peak_runs = [round(measured_peak_tflops(), 1) for _ in range(2)]
+    """Driver default: ceiling + ViT-g encode + ViT-L pretrain, one line."""
+    peak_runs = [round(measured_peak_tflops(), 1)]
+    _PEAK_CACHE.clear()
+    peak_runs.append(round(measured_peak_tflops(), 1))
+    _PEAK_CACHE[:] = [max(peak_runs)]  # sub-benches reuse the best estimate
 
     enc_args = argparse.Namespace(**vars(args))
     enc_args.model, enc_args.batch, enc_args.steps = "vit_giant", 8, 10
