@@ -42,17 +42,21 @@ def test_probe_eval_on_converted_reference_weights():
     ours_feats = np.asarray(enc.apply({"params": enc_params}, jnp.asarray(x)))
     np.testing.assert_allclose(ours_feats, ref_feats, atol=5e-4, rtol=5e-3)
 
-    # full probe eval on the converted weights (synthetic class-coded clips)
-    probes = probe_configs_from_multihead(
-        [{"lr": 0.01, "weight_decay": 0.001}, {"lr": 0.003, "weight_decay": 0.01}], ipe=6
-    )
-    ev = VideoClassificationEval(
-        encoder=enc, enc_params=enc_params, num_classes=3,
-        probe_configs=probes, num_heads=8, probe_depth=1, total_steps=12,
-    )
-    train = SyntheticEvalLoader(4, 1, T, S, 3, batches=6, seed=0)
-    val = SyntheticEvalLoader(4, 1, T, S, 3, batches=3, seed=1)
-    out = ev.run(train, val, epochs=2)
+    # full probe eval on the converted weights (synthetic class-coded clips);
+    # eager mode — compiling ViT-L programs on a 1-core CI host takes minutes
+    import jax
+
+    with jax.disable_jit():
+        probes = probe_configs_from_multihead(
+            [{"lr": 0.01, "weight_decay": 0.001}, {"lr": 0.003, "weight_decay": 0.01}], ipe=6
+        )
+        ev = VideoClassificationEval(
+            encoder=enc, enc_params=enc_params, num_classes=3,
+            probe_configs=probes, num_heads=8, probe_depth=1, total_steps=12,
+        )
+        train = SyntheticEvalLoader(4, 1, T, S, 3, batches=6, seed=0)
+        val = SyntheticEvalLoader(4, 1, T, S, 3, batches=3, seed=1)
+        out = ev.run(train, val, epochs=2)
     # class-coded synthetic data is linearly separable from frozen features:
     # the probe must do (much) better than chance
     assert out["top1"] > 0.5, out

@@ -61,7 +61,9 @@ def test_vit_large_rope_full(ref_large_rope, ours_large_rope):
     with torch.no_grad():
         ref = ref_large_rope(xt).numpy()
     enc, variables = ours_large_rope
-    out = jax.jit(enc.apply)(variables, jnp.asarray(x))
+    # eager apply: jitting a 300M-param program for an 8-token input costs
+    # minutes of XLA-CPU compile on CI hosts; eager is instant at this size
+    out = enc.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-3)
 
 

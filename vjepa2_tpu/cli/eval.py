@@ -221,10 +221,14 @@ def run_image_classification(cfg: dict, args) -> dict:
 
     ckpt = args.checkpoint or mdl_c.get("checkpoint")
     wrapper_kwargs = dict(mdl_c.get("wrapper_kwargs", {}) or {})
-    encoder, enc_params = build_encoder(mdl_c, res, 2, ckpt)
+    # reference replicates each image to N fake frames so the *video*
+    # encoder tokenizes it (`image_classification_frozen/modelcustom/
+    # vit_encoder.py:56-66`; in1k configs use img_as_video_nframes: 16/18)
+    nframes = int(wrapper_kwargs.get("img_as_video_nframes", 2))
+    encoder, enc_params = build_encoder(mdl_c, res, nframes, ckpt)
     if enc_params is None:
         logger.warning("no checkpoint given: using randomly-initialized encoder")
-        dummy = jnp.zeros((1, 2, res, res, 3), jnp.float32)
+        dummy = jnp.zeros((1, nframes, res, res, 3), jnp.float32)
         enc_params = jax.jit(encoder.init)(jax.random.PRNGKey(0), dummy)["params"]
     probes = probe_configs_from_multihead(opt_c.get("multihead_kwargs", [{}]), ipe)
 
@@ -407,6 +411,8 @@ def shrink_config(cfg: dict) -> dict:
     wk = mdl.get("wrapper_kwargs", {}) or {}
     if wk.get("out_layers"):
         wk["out_layers"] = [4, 8, 11]  # vit_tiny has 12 blocks
+    if "img_as_video_nframes" in wk:
+        wk["img_as_video_nframes"] = 2
     return cfg
 
 

@@ -53,11 +53,13 @@ def _multiclip_multilevel(encoder=None, enc_params=None, out_layers=(), **_):
 
 
 @register("evals.image_classification_frozen.modelcustom.vit_encoder")
-def _image_encoder(encoder=None, enc_params=None, tubelet_size: int = 2, **_):
+def _image_encoder(encoder=None, enc_params=None, img_as_video_nframes: int = 2, **_):
     from vjepa2_tpu.evals.wrappers import image_as_video
 
     def extract(images, clip_indices=None):
-        return encoder.apply({"params": enc_params}, image_as_video(images, tubelet_size))
+        return encoder.apply(
+            {"params": enc_params}, image_as_video(images, img_as_video_nframes)
+        )
 
     return extract
 
