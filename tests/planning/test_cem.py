@@ -42,7 +42,7 @@ def test_cem_moves_toward_goal():
     CEM should discover the action that moves the latent toward the goal."""
     N, D = 4, 8
 
-    def step_fn(reps, actions, poses):
+    def step_fn(params, reps, actions, poses):
         # next latent = last frame latent + broadcast of action xyz
         last = reps[:, -N:]
         delta = jnp.pad(actions[:, -1, :3], ((0, 0), (0, D - 3)))
@@ -53,7 +53,7 @@ def test_cem_moves_toward_goal():
     rep = jnp.zeros((N, D))
     goal = jnp.zeros((N, D)).at[:, 0].set(0.05)  # want +x movement at maxnorm
     pose = jnp.zeros((7,))
-    plan = cem(jax.random.PRNGKey(0), rep, pose, goal)
+    plan = cem({}, jax.random.PRNGKey(0), rep, pose, goal)
     assert plan.shape == (1, 7)
     assert float(plan[0, 0]) > 0.02, f"CEM failed to find +x action: {plan}"
     np.testing.assert_allclose(np.asarray(plan[0, 3:6]), 0.0, atol=1e-7)

@@ -206,20 +206,25 @@ class AnticipationEval:
         self._seed = seed
         self._state = None
 
-        feat_fn = functools.partial(
-            anticipative_features,
-            encoder,
-            enc_params,
-            predictor,
-            pred_params,
-            frames_per_second=frames_per_second,
-            grid_size=grid_size,
-            h_patches=h_patches,
-            w_patches=w_patches,
-            num_output_frames=num_output_frames,
-            num_steps=num_steps,
+        # params ride as jit arguments (closure capture embeds them as HLO
+        # constants — fatal at ViT scale on remote-compile platforms)
+        self._feat_params = {"encoder": enc_params, "predictor": pred_params}
+
+        def feat_fn(fp, clips, at):
+            return anticipative_features(
+                encoder, fp["encoder"], predictor, fp["predictor"],
+                clips, at,
+                frames_per_second=frames_per_second,
+                grid_size=grid_size,
+                h_patches=h_patches,
+                w_patches=w_patches,
+                num_output_frames=num_output_frames,
+                num_steps=num_steps,
+            )
+
+        self._features = jax.jit(
+            lambda fp, clips, at: jax.lax.stop_gradient(feat_fn(fp, clips, at))
         )
-        self._features = jax.jit(lambda clips, at: jax.lax.stop_gradient(feat_fn(clips=clips, anticipation_times=at)))
 
         def loss_fn(params, feats, verbs, nouns, actions):
             lv, ln, la = self.model.apply({"params": params}, feats)
@@ -255,7 +260,9 @@ class AnticipationEval:
             self._state = (params, self._tx.init(params))
 
     def train_batch(self, clips, anticipation_times, verbs, nouns, actions) -> float:
-        feats = self._features(jnp.asarray(clips, jnp.float32), jnp.asarray(anticipation_times))
+        feats = self._features(
+            self._feat_params, jnp.asarray(clips, jnp.float32), jnp.asarray(anticipation_times)
+        )
         self._ensure_state(feats)
         params, opt = self._state
         params, opt, loss = self._train_step(
@@ -273,7 +280,9 @@ class AnticipationEval:
             "action": ClassMeanRecall(self.model.num_actions, k=k),
         }
         for clips, at, verbs, nouns, actions in loader:
-            feats = self._features(jnp.asarray(clips, jnp.float32), jnp.asarray(at))
+            feats = self._features(
+            self._feat_params, jnp.asarray(clips, jnp.float32), jnp.asarray(at)
+        )
             lv, ln, la = self._logits(params, feats)
             metrics["verb"].update(np.asarray(lv), verbs)
             metrics["noun"].update(np.asarray(ln), nouns)

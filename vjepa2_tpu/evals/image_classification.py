@@ -34,7 +34,7 @@ class ImageClassificationEval:
     total_steps: int = 1000
     tubelet_size: int = 2
     seed: int = 0
-    extract_fn: object = None  # plugin wrapper: (images, None) -> feats
+    extract_fn: object = None  # plugin wrapper: (params, images, None) -> feats
 
     def __post_init__(self):
         self.grid = ProbeGrid(
@@ -48,14 +48,14 @@ class ImageClassificationEval:
         )
         self._probe_state = None
         extract = self.extract_fn or (
-            lambda imgs, _ci: self.encoder.apply(
-                {"params": self.enc_params}, image_as_video(imgs, self.tubelet_size)
+            lambda p, imgs, _ci: self.encoder.apply(
+                {"params": p}, image_as_video(imgs, self.tubelet_size)
             )
         )
         self._encode = jax.jit(extract)
 
     def features(self, images: np.ndarray) -> jnp.ndarray:
-        return jax.lax.stop_gradient(self._encode(jnp.asarray(images), None))
+        return jax.lax.stop_gradient(self._encode(self.enc_params, jnp.asarray(images), None))
 
     def train_batch(self, images, labels) -> dict:
         feats = self.features(images)

@@ -4,6 +4,11 @@ Evals resolve their frozen-feature extractor by dotted module path from the
 config (``model_kwargs.module_name``); the module must expose
 ``init_module(**kwargs) -> callable``. Built-in wrappers are registered
 under their reference names so reference configs resolve without edits.
+
+Contract: the returned callable takes ``(params, *batch)`` — params are an
+ARGUMENT of the jitted program, never a closure capture (closure-captured
+arrays are embedded in the lowered HLO as constants, which bloats compiles
+and breaks remote compilation of ViT-L-sized programs).
 """
 
 from __future__ import annotations
@@ -33,30 +38,30 @@ def init_module(module_name: str, **kwargs) -> Callable:
 
 
 @register("evals.video_classification_frozen.modelcustom.vit_encoder_multiclip")
-def _multiclip(encoder=None, enc_params=None, use_pos_embed: bool = False, **_):
+def _multiclip(encoder=None, use_pos_embed: bool = False, **_):
     from vjepa2_tpu.evals.wrappers import encode_clips
 
-    def extract(clips, clip_indices=None):
+    def extract(enc_params, clips, clip_indices=None):
         return encode_clips(encoder, enc_params, clips, clip_indices, use_pos_embed=use_pos_embed)
 
     return extract
 
 
 @register("evals.video_classification_frozen.modelcustom.vit_encoder_multiclip_multilevel")
-def _multiclip_multilevel(encoder=None, enc_params=None, out_layers=(), **_):
+def _multiclip_multilevel(encoder=None, out_layers=(), **_):
     from vjepa2_tpu.evals.wrappers import encode_multilevel
 
-    def extract(clips, clip_indices=None):
+    def extract(enc_params, clips, clip_indices=None):
         return encode_multilevel(encoder, enc_params, clips, out_layers)
 
     return extract
 
 
 @register("evals.image_classification_frozen.modelcustom.vit_encoder")
-def _image_encoder(encoder=None, enc_params=None, img_as_video_nframes: int = 2, **_):
+def _image_encoder(encoder=None, img_as_video_nframes: int = 2, **_):
     from vjepa2_tpu.evals.wrappers import image_as_video
 
-    def extract(images, clip_indices=None):
+    def extract(enc_params, images, clip_indices=None):
         return encoder.apply(
             {"params": enc_params}, image_as_video(images, img_as_video_nframes)
         )
@@ -65,12 +70,13 @@ def _image_encoder(encoder=None, enc_params=None, img_as_video_nframes: int = 2,
 
 
 @register("evals.action_anticipation_frozen.modelcustom.vit_encoder_predictor_concat_ar")
-def _anticipative(encoder=None, enc_params=None, predictor=None, pred_params=None, **kw):
+def _anticipative(encoder=None, predictor=None, **kw):
     from vjepa2_tpu.evals.action_anticipation import anticipative_features
 
-    def extract(clips, anticipation_times):
+    def extract(params, clips, anticipation_times):
         return anticipative_features(
-            encoder, enc_params, predictor, pred_params, clips, anticipation_times, **kw
+            encoder, params["encoder"], predictor, params["predictor"],
+            clips, anticipation_times, **kw
         )
 
     return extract

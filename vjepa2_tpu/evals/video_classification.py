@@ -34,7 +34,7 @@ class VideoClassificationEval:
     total_steps: int = 1000
     use_pos_embed: bool = False
     seed: int = 0
-    extract_fn: Optional[object] = None  # plugin wrapper: (clips, clip_indices) -> feats
+    extract_fn: Optional[object] = None  # plugin wrapper: (params, clips, clip_indices) -> feats
 
     def __post_init__(self):
         self.grid = ProbeGrid(
@@ -51,16 +51,18 @@ class VideoClassificationEval:
         # eval config (reference `video_classification_frozen/models.py:14-44`);
         # default is the multiclip ClipAggregation wrapper.
         extract = self.extract_fn or (
-            lambda clips, ci: encode_clips(
-                self.encoder, self.enc_params, clips, ci, use_pos_embed=self.use_pos_embed
+            lambda p, clips, ci: encode_clips(
+                self.encoder, p, clips, ci, use_pos_embed=self.use_pos_embed
             )
         )
+        # params are a jit ARGUMENT (closure-captured trees become HLO
+        # constants and wreck ViT-L-scale compiles)
         self._encode = jax.jit(extract)
 
     def features(self, clips: np.ndarray, clip_indices: Optional[np.ndarray] = None) -> jnp.ndarray:
         """clips [B, nc, T, H, W, C] float32 -> frozen features (no grad)."""
         ci = None if clip_indices is None else jnp.asarray(clip_indices)
-        return jax.lax.stop_gradient(self._encode(jnp.asarray(clips), ci))
+        return jax.lax.stop_gradient(self._encode(self.enc_params, jnp.asarray(clips), ci))
 
     def init_probes(self, feat_shape):
         self._probe_state = self.grid.init(feat_shape)

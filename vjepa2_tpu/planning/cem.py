@@ -40,11 +40,12 @@ def _expand_action(a4: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_cem(step_fn: Callable, cfg: CEMConfig):
-    """step_fn(reps [S, T*N, D], actions [S, T, 7], poses [S, T, 7])
+    """step_fn(params, reps [S, T*N, D], actions [S, T, 7], poses [S, T, 7])
     -> next frame reps [S, N, D]. Returns jitted
-    cem(rng, rep [N, D], pose [7], goal [N, D]) -> [rollout, 7]."""
+    cem(params, rng, rep [N, D], pose [7], goal [N, D]) -> [rollout, 7]
+    (params as argument — never closure-capture weight trees)."""
 
-    def rollout_trajs(mean, std, rng, rep, pose):
+    def rollout_trajs(params, mean, std, rng, rep, pose):
         S = cfg.samples
         reps = jnp.broadcast_to(rep[None], (S,) + rep.shape)  # [S, N, D]
         poses = jnp.broadcast_to(pose[None, None], (S, 1, 7))
@@ -57,14 +58,14 @@ def make_cem(step_fn: Callable, cfg: CEMConfig):
             a4 = a4.at[:, 3].set(jnp.clip(a4[:, 3], -0.75, 0.75))
             a7 = _expand_action(a4)[:, None]  # [S, 1, 7]
             actions = jnp.concatenate([actions, a7], axis=1)
-            next_rep = step_fn(frame_seq, actions, poses)  # [S, N, D]
+            next_rep = step_fn(params, frame_seq, actions, poses)  # [S, N, D]
             frame_seq = jnp.concatenate([frame_seq, next_rep], axis=1)
             next_pose = compose_pose(poses[:, -1], actions[:, -1])[:, None]
             poses = jnp.concatenate([poses, next_pose], axis=1)
         final = frame_seq[:, -rep.shape[0] :]
         return actions, final, rng
 
-    def cem(rng, rep, pose, goal):
+    def cem(params, rng, rep, pose, goal):
         mean0 = jnp.zeros((cfg.rollout, 4))
         std0 = jnp.concatenate(
             [jnp.ones((cfg.rollout, 3)) * cfg.maxnorm, jnp.ones((cfg.rollout, 1))], axis=-1
@@ -72,7 +73,7 @@ def make_cem(step_fn: Callable, cfg: CEMConfig):
 
         def body(_, carry):
             mean, std, rng = carry
-            actions, final, rng = rollout_trajs(mean, std, rng, rep, pose)
+            actions, final, rng = rollout_trajs(params, mean, std, rng, rep, pose)
             dists = jnp.abs(final - goal[None]).mean(axis=(1, 2))  # [S]
             _, idx = jax.lax.top_k(-dists, cfg.topk)
             sel = actions[idx]  # [k, rollout, 7]

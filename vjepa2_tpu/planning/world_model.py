@@ -39,9 +39,9 @@ class WorldModel:
         self.preprocessor = preprocessor
         self.normalize_reps = normalize_reps
 
-        def step_fn(reps, actions, poses):
+        def step_fn(pred_params, reps, actions, poses):
             """reps [S, T*N, D] -> next frame tokens [S, N, D]."""
-            nxt = self.predictor.apply({"params": self.pred_params}, reps, actions, poses)
+            nxt = self.predictor.apply({"params": pred_params}, reps, actions, poses)
             nxt = nxt[:, -self.tokens_per_frame :]
             if self.normalize_reps:
                 nxt = feature_layernorm(nxt)
@@ -50,9 +50,9 @@ class WorldModel:
         self._cem = make_cem(step_fn, cem_config)
         self._encode = jax.jit(self._encode_impl)
 
-    def _encode_impl(self, frame):
+    def _encode_impl(self, enc_params, frame):
         clip = jnp.repeat(frame[None, None], 2, axis=1)  # [1, 2, H, W, C]
-        h = self.encoder.apply({"params": self.enc_params}, clip)[0]  # [N, D]
+        h = self.encoder.apply({"params": enc_params}, clip)[0]  # [N, D]
         if self.normalize_reps:
             h = feature_layernorm(h)
         return h
@@ -61,7 +61,7 @@ class WorldModel:
         """image [H, W, 3] uint8 (or preprocessed float) -> [N, D] tokens."""
         if self.preprocessor is not None:
             image = self.preprocessor(np.asarray(image)[None])[0]
-        return self._encode(jnp.asarray(image, jnp.float32))
+        return self._encode(self.enc_params, jnp.asarray(image, jnp.float32))
 
     def infer_next_action(
         self,
@@ -72,4 +72,4 @@ class WorldModel:
     ) -> np.ndarray:
         """rep/goal_rep [N, D]; pose [7] -> planned actions [rollout, 7]."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        return np.asarray(self._cem(rng, rep, jnp.asarray(pose, jnp.float32), goal_rep))
+        return np.asarray(self._cem(self.pred_params, rng, rep, jnp.asarray(pose, jnp.float32), goal_rep))

@@ -182,9 +182,10 @@ def init_droid_params(encoder, predictor, seed: int, clip_shape, action_dim: int
     B, T = clip_shape[0], clip_shape[1]
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     frames = jnp.zeros((B * T, 2) + tuple(clip_shape[2:]), jnp.float32)
-    # jit init (eager op-by-op dispatch is slow on remote-tunnel platforms)
-    enc_vars = jax.jit(lambda k: encoder.init(k, frames))(k1)
-    h = jax.jit(lambda v: encoder.apply(v, frames))(enc_vars)
+    # jit init; arrays passed as arguments, never closed over (big closure
+    # constants break remote compiles — see the verify skill)
+    enc_vars = jax.jit(lambda k, f: encoder.init(k, f))(k1, frames)
+    h = jax.jit(lambda v, f: encoder.apply(v, f))(enc_vars, frames)
     tpf = h.shape[1]
     h_full = h.reshape(B, T * tpf, h.shape[2])
     extr0 = (
@@ -193,14 +194,14 @@ def init_droid_params(encoder, predictor, seed: int, clip_shape, action_dim: int
         else None
     )
     pred_vars = jax.jit(
-        lambda k: predictor.init(
-            k,
-            h_full[:, :-tpf],
-            jnp.zeros((B, T - 1, action_dim), jnp.float32),
-            jnp.zeros((B, T - 1, action_dim), jnp.float32),
-            extr0,
-        )
-    )(k2)
+        lambda k, hh, a, st, e: predictor.init(k, hh, a, st, e)
+    )(
+        k2,
+        h_full[:, :-tpf],
+        jnp.zeros((B, T - 1, action_dim), jnp.float32),
+        jnp.zeros((B, T - 1, action_dim), jnp.float32),
+        extr0,
+    )
     params = {"predictor": pred_vars["params"]}
     if train_encoder:
         params["encoder"] = jax.tree_util.tree_map(jnp.copy, enc_vars["params"])

@@ -112,11 +112,15 @@ def init_params(encoder, predictor, seed: int, clip_shape, masks_enc0, masks_pre
     reference deepcopy at `app/vjepa/train.py:210`)."""
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     clips = jnp.zeros(clip_shape, jnp.float32)
-    # jit the init/probe programs: on remote-tunnel platforms eager op-by-op
-    # dispatch pays a round trip per op.
-    enc_vars = jax.jit(lambda k: encoder.init(k, clips, [masks_enc0]))(k1)
-    z = jax.jit(lambda v: encoder.apply(v, clips, [masks_enc0]))(enc_vars)
-    pred_vars = jax.jit(lambda k: predictor.init(k, z, masks_enc0, masks_pred0, 0))(k2)
+    # jit the init/probe programs (eager op-by-op dispatch pays a round trip
+    # per op on remote-tunnel platforms) — and pass every array as an
+    # ARGUMENT: closure-captured device arrays get embedded in the lowered
+    # program as constants, which blows up remote compiles (verify skill).
+    enc_vars = jax.jit(lambda k, c, m: encoder.init(k, c, [m]))(k1, clips, masks_enc0)
+    z = jax.jit(lambda v, c, m: encoder.apply(v, c, [m]))(enc_vars, clips, masks_enc0)
+    pred_vars = jax.jit(
+        lambda k, zz, me, mp: predictor.init(k, zz, me, mp, 0)
+    )(k2, z, masks_enc0, masks_pred0)
     params = {"encoder": enc_vars["params"], "predictor": pred_vars["params"]}
     # Real copy (not aliased buffers): params and target are donated separately
     # by the train step, and XLA rejects donating the same buffer twice.
