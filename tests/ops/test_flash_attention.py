@@ -169,7 +169,11 @@ def test_flash_bf16():
 
 def test_supports_gates():
     assert supports(2048, 64, has_mask=False, is_causal=False)
-    assert supports(2048, 64, has_mask=True, is_causal=True)  # segment/causal OK now
+    assert supports(2048, 64, has_mask=True, is_causal=False)  # segment mask OK
+    assert supports(2048, 64, has_mask=False, is_causal=True)  # token-causal OK
+    # segments + causal together: the kernel would silently drop the causal
+    # constraint (segments win in `_fwd_kernel`), so the gate rejects it
+    assert not supports(2048, 64, has_mask=True, is_causal=True)
     assert supports(18432, 128, has_mask=False, is_causal=False)  # streaming: long seq OK
     assert not supports(100, 64, has_mask=False, is_causal=False)  # unaligned N
     assert not supports(2048, 63, has_mask=False, is_causal=False)  # odd head dim

@@ -246,7 +246,7 @@ def run_image_classification(cfg: dict, args) -> dict:
         encoder=encoder, enc_params=enc_params, num_classes=num_classes,
         probe_configs=probes, num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
         probe_depth=int(cls_c.get("num_probe_blocks", 1)), total_steps=epochs * ipe,
-        extract_fn=extract,
+        img_as_video_nframes=nframes, extract_fn=extract,
     )
 
     if args.synthetic_data or not data_c.get("root"):

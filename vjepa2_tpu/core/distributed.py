@@ -39,3 +39,21 @@ def init_distributed(
             process_id=process_id,
         )
     return jax.process_index(), jax.process_count()
+
+
+def global_sum(x):
+    """Sum a host-local numpy/scalar value across processes.
+
+    The reference all-reduces eval statistics every epoch
+    (`evals/video_classification_frozen/eval.py:329`,
+    `evals/action_anticipation_frozen/metrics.py:48-50`); multi-host JAX's
+    equivalent is a process allgather + sum. Identity on single-process runs.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return x
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(jnp.asarray(x))).sum(0)

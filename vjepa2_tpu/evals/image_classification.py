@@ -32,7 +32,7 @@ class ImageClassificationEval:
     num_heads: int = 12
     probe_depth: int = 1
     total_steps: int = 1000
-    tubelet_size: int = 2
+    img_as_video_nframes: int = 2  # fake-frame count fed to the video encoder
     seed: int = 0
     extract_fn: object = None  # plugin wrapper: (params, images, None) -> feats
 
@@ -49,7 +49,7 @@ class ImageClassificationEval:
         self._probe_state = None
         extract = self.extract_fn or (
             lambda p, imgs, _ci: self.encoder.apply(
-                {"params": p}, image_as_video(imgs, self.tubelet_size)
+                {"params": p}, image_as_video(imgs, self.img_as_video_nframes)
             )
         )
         self._encode = jax.jit(extract)
@@ -82,6 +82,12 @@ class ImageClassificationEval:
             c = self.grid.eval_correct(params, feats, jnp.asarray(labels))
             correct = c if correct is None else correct + c
             total += len(labels)
+        # cross-host reduction over disjoint per-process shards
+        # (reference `evals/video_classification_frozen/eval.py:329`)
+        from vjepa2_tpu.core.distributed import global_sum
+
+        correct = global_sum(correct)
+        total = int(global_sum(np.int64(total)))
         top1 = correct / max(1, total)
         best = int(np.argmax(top1))
         return {"top1_per_probe": top1, "best_probe": best, "top1": float(top1[best])}

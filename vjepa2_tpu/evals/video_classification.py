@@ -126,6 +126,12 @@ class VideoClassificationEval:
             c = self.eval_batch(clips, labels, ci, num_views=num_views)
             correct = c if correct is None else correct + c
             total += len(labels)
+        # cross-host reduction: each process evaluates a disjoint shard; the
+        # reference all-reduces top-1 (`eval.py:329`)
+        from vjepa2_tpu.core.distributed import global_sum
+
+        correct = global_sum(correct)
+        total = int(global_sum(np.int64(total)))
         top1 = correct / max(1, total)
         best = int(np.argmax(top1))
         return {

@@ -42,7 +42,7 @@ class VisionTransformer(nn.Module):
     wide_silu: bool = True
     use_rope: bool = False
     use_activation_checkpointing: bool = False
-    use_flash: bool = False  # Pallas attention (forward-only; inference paths)
+    use_flash: bool = False  # Pallas flash attention (fwd + custom VJP)
     out_layers: Optional[Sequence[int]] = None
     handle_nonsquare_inputs: bool = True
     dtype: jnp.dtype = jnp.float32

@@ -260,7 +260,10 @@ def _dq_kernel(
             mask = rows >= cols
         s = jnp.where(mask, s, NEG_INF)
 
-    p = jnp.exp(s - lse_ref[0][:, None])  # [BLK_Q, BLK_K]
+    # fully-masked rows have lse == NEG_INF; exp(s - lse) would be exp(0) = 1
+    # for every masked entry, so zero those rows explicitly (ADVICE r2)
+    lse = lse_ref[0][:, None]
+    p = jnp.where(lse > NEG_INF * 0.5, jnp.exp(s - lse), 0.0)  # [BLK_Q, BLK_K]
     do = do_ref[0].astype(jnp.float32)
     dp = jax.lax.dot_general(
         do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -317,7 +320,8 @@ def _dkv_kernel(
             mask = rows >= cols
         s = jnp.where(mask, s, NEG_INF)
 
-    p = jnp.exp(s - lse_ref[0][:, None])
+    lse = lse_ref[0][:, None]
+    p = jnp.where(lse > NEG_INF * 0.5, jnp.exp(s - lse), 0.0)
     do = do_ref[0].astype(jnp.float32)
     dv_scr[...] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -479,7 +483,15 @@ def _core_bwd(causal, scale, block_q, block_k, interpret, res, g):
         causal=causal, scale=scale, block_q=block_q, block_k=block_k,
         interpret=interpret,
     )
-    zeros = lambda x: None if x is None else jnp.zeros_like(x)
+    def zeros(x):
+        if x is None:
+            return None
+        # integer primals take float0 cotangents (JAX's AD contract) — a dense
+        # int-zeros array only works by accident on some versions (ADVICE r2)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
     return dq, dk, dv, zeros(seg), zeros(qcos), zeros(qsin), zeros(kcos), zeros(ksin)
 
 
@@ -600,7 +612,12 @@ def flash_attention(
 
 def supports(n: int, d: int, has_mask: bool, is_causal: bool,
              block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K) -> bool:
-    """Shapes the kernels handle (hardware gate; tunnel hang documented)."""
+    """Shapes/mask configs the kernels handle (hardware gate)."""
+    if has_mask and is_causal:
+        # the kernels apply EITHER the segment mask OR token-causal, never
+        # both (`_fwd_kernel`: segments win) — reject the combination rather
+        # than silently dropping the causal constraint
+        return False
     if n % 8 != 0:  # sublane-tile alignment; blocks adapt via pick_block
         return False
     if pick_block(n, block_q) < 8 or pick_block(n, block_k) < 8:

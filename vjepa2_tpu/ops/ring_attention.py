@@ -41,7 +41,7 @@ def ring_attention(
 
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
-    def step(carry, _):
+    def step(carry, rotate: bool):
         k_blk, v_blk, seg_blk, m, l, acc = carry
         s = jnp.einsum(
             "bnhd,bmhd->bhnm", qf, k_blk.astype(jnp.float32),
@@ -60,18 +60,21 @@ def ring_attention(
             preferred_element_type=jnp.float32,
         )
         acc_new = acc * corr.transpose(0, 2, 1, 3) + upd
-        # rotate the K/V (and segment) blocks one hop around the ring
-        k_nxt = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_blk, axis_name, perm)
-        seg_nxt = None if seg_blk is None else jax.lax.ppermute(seg_blk, axis_name, perm)
-        return (k_nxt, v_nxt, seg_nxt, m_new, l_new, acc_new), None
+        if rotate:
+            # rotate the K/V (and segment) blocks one hop around the ring
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+            seg_blk = None if seg_blk is None else jax.lax.ppermute(seg_blk, axis_name, perm)
+        return (k_blk, v_blk, seg_blk, m_new, l_new, acc_new)
 
     m0 = jnp.full((B, H, n_loc, 1), -1e30, jnp.float32)
     l0 = jnp.zeros((B, H, n_loc, 1), jnp.float32)
     acc0 = jnp.zeros((B, n_loc, H, D), jnp.float32)
     carry = (k, v, segment_ids_kv, m0, l0, acc0)
-    for _ in range(axis_size):  # static unroll: ppermute patterns are static
-        carry, _ = step(carry, None)
+    for i in range(axis_size):  # static unroll: ppermute patterns are static
+        # the final hop would return blocks to their home shard — skip the
+        # wasted ICI collective (ADVICE r2)
+        carry = step(carry, rotate=i < axis_size - 1)
     _, _, _, m, l, acc = carry
     denom = jnp.where(l == 0.0, 1.0, l).transpose(0, 2, 1, 3)  # [B,n,H,1]
     return (acc / denom).astype(q.dtype)

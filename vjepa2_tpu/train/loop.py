@@ -227,6 +227,7 @@ class Pretrainer:
             ("%.5f", "loss"),
             ("%.2f", "iter_ms"),
         )
+        eval_csv = None  # created lazily on first online eval, reused after
         start_epoch = int(state.step) // self.hp.ipe
         # mid-epoch resume (preemption): skip the iterations already trained
         skip_itrs = int(state.step) % self.hp.ipe
@@ -306,10 +307,11 @@ class Pretrainer:
                 # spawns eval jobs at eval_freq, `app/vjepa/utils.py:25-87`)
                 metrics = self.online_eval(self.encoder, state.target_params, epoch)
                 logger.info("online eval @ epoch %d: %s", epoch, metrics)
-                eval_csv = CSVLogger(
-                    os.path.join(c.folder, f"eval_log_r{jax.process_index()}.csv"),
-                    ("%d", "epoch"), ("%s", "tag"), ("%.5f", "top1"),
-                )
+                if eval_csv is None:
+                    eval_csv = CSVLogger(
+                        os.path.join(c.folder, f"eval_log_r{jax.process_index()}.csv"),
+                        ("%d", "epoch"), ("%s", "tag"), ("%.5f", "top1"),
+                    )
                 for tag_i, top1 in metrics.items():
                     eval_csv.log(epoch, tag_i, float(top1))
         return {"loss": last_loss, "step": int(state.step), "preempted": False}
