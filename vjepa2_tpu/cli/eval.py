@@ -370,23 +370,32 @@ def run_action_anticipation(cfg: dict, args) -> dict:
 
         train_batches, val_batches = make(train_ds, True), make(val_ds, False)
 
-    # single-probe runner: take lr/wd directly or the first grid entry
-    grid0 = (opt_c.get("multihead_kwargs") or [{}])[0]
+    # full probe grid, one vmapped program (reference trains one classifier
+    # per multihead entry, `action_anticipation_frozen/eval.py:125,230`)
+    probes = probe_configs_from_multihead(opt_c.get("multihead_kwargs", [{}]), ipe)
     ev = AnticipationEval(
         encoder, enc_params, predictor, pred_params,
         num_verbs=nv, num_nouns=nn_, num_actions=na,
         frames_per_second=fps, grid_size=hp, h_patches=hp, w_patches=hp,
-        lr=float(opt_c.get("lr", grid0.get("lr", 1e-3))),
-        weight_decay=float(opt_c.get("weight_decay", grid0.get("weight_decay", 0.01))),
+        probe_configs=probes, total_steps=epochs * ipe,
     )
-    loss = float("nan")  # stays NaN if the loader yields nothing
-    for epoch in range(epochs):
-        for batch in train_batches:
-            loss = ev.train_batch(*batch)
-        logger.info("anticipation epoch %d loss %.4f", epoch, loss)
+    val_only = args.val_only or bool(cfg.get("val_only", False))
+    probe_ckpt = mdl_c.get("probe_checkpoint")
+    if val_only:
+        assert probe_ckpt, "val_only anticipation needs model_kwargs.probe_checkpoint"
+        first = next(iter(val_batches))
+        ev.restore_probes(probe_ckpt, ev.features_for(first[0][:1], first[1][:1]))
+    else:
+        loss = float("nan")  # stays NaN if the loader yields nothing
+        for epoch in range(epochs):
+            for batch in train_batches:
+                loss = ev.train_batch(*batch)
+            logger.info("anticipation epoch %d loss %.4f", epoch, loss)
+        if probe_ckpt:
+            ev.save_probes(probe_ckpt)
     result = ev.evaluate(val_batches, k=int(opt_c.get("recall_k", 5)), valid_action_classes=valid_actions)
     logger.info("anticipation: %s", result)
-    print({k: v["recall"] for k, v in result.items()})
+    print({k: result[k]["recall"] for k in ("verb", "noun", "action")})
     return result
 
 

@@ -16,12 +16,17 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3, save_interval_steps: int = 1):
+    def __init__(self, directory: str, max_to_keep: int = 3, save_interval_steps: int = 1,
+                 keep_period: Optional[int] = None):
+        """keep_period: steps divisible by it are kept FOREVER, outside the
+        rolling max_to_keep window — the reference's permanent ``e{N}.pt``
+        every ``save_every_freq`` epochs (`app/vjepa/train.py:516-521`)."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             save_interval_steps=save_interval_steps,
+            keep_period=keep_period,
             create=True,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)

@@ -165,9 +165,13 @@ def anticipative_features(
 
 class AnticipationEval:
     """EK100 anticipation eval runner (reference
-    `evals/action_anticipation_frozen/eval.py`): trains the 3-head attentive
-    probe on frozen anticipative features with focal loss, reports mean-class
-    recall@5 for verb/noun/action."""
+    `evals/action_anticipation_frozen/eval.py`): trains a GRID of 3-head
+    attentive probes (one per ``multihead_kwargs`` entry, reference
+    `eval.py:125,230`) on frozen anticipative features with focal loss. The
+    grid is one vmapped program — probe params carry a leading [P] axis like
+    ``ProbeGrid``. Reports per-head MAX mean-class recall@k over probes
+    (reference `eval.py:705-725`); probe state checkpoints/restores for the
+    reference's resume + ``val_only`` paths (`eval.py:292-308`)."""
 
     def __init__(
         self,
@@ -179,8 +183,10 @@ class AnticipationEval:
         num_nouns: int,
         num_actions: int,
         frames_per_second: float,
+        probe_configs=None,
         lr: float = 1e-3,
         weight_decay: float = 0.01,
+        total_steps: int = 1000,
         num_heads: int = 12,
         grid_size: int = 16,
         h_patches: int | None = None,
@@ -190,10 +196,16 @@ class AnticipationEval:
         use_focal: bool = True,
         seed: int = 0,
     ):
-        import functools
-
         import optax
 
+        from vjepa2_tpu.core.schedulers import warmup_cosine_lr
+        from vjepa2_tpu.evals.probes import ProbeConfig
+
+        if probe_configs is None:
+            probe_configs = [ProbeConfig(lr=lr, weight_decay=weight_decay)]
+        self.configs = list(probe_configs)
+        self.n = len(self.configs)
+        self.total_steps = total_steps
         self.model = MultiHeadAttentiveClassifier(
             embed_dim=encoder.embed_dim,
             num_heads=num_heads,
@@ -202,9 +214,17 @@ class AnticipationEval:
             num_actions=num_actions,
         )
         self.use_focal = use_focal
-        self._tx = optax.adamw(lr, weight_decay=weight_decay)
+        self._adam = optax.scale_by_adam()
         self._seed = seed
-        self._state = None
+        self._state = None  # (params [P,...], opt [P,...], step)
+
+        self.lrs = jnp.asarray([c.lr for c in self.configs], jnp.float32)
+        self.start_lrs = jnp.asarray(
+            [c.start_lr if c.start_lr is not None else c.lr for c in self.configs], jnp.float32
+        )
+        self.final_lrs = jnp.asarray([c.final_lr for c in self.configs], jnp.float32)
+        self.wds = jnp.asarray([c.weight_decay for c in self.configs], jnp.float32)
+        self.warmups = jnp.asarray([c.warmup_steps for c in self.configs], jnp.float32)
 
         # params ride as jit arguments (closure capture embeds them as HLO
         # constants — fatal at ViT scale on remote-compile platforms)
@@ -243,48 +263,115 @@ class AnticipationEval:
             )
 
         @jax.jit
-        def train_step(params, opt_state, feats, verbs, nouns, actions):
-            loss, grads = jax.value_and_grad(loss_fn)(params, feats, verbs, nouns, actions)
-            updates, opt_state = self._tx.update(grads, opt_state, params)
-            import optax as _o
+        def train_step(params, opt, step, feats, verbs, nouns, actions):
+            def one(p, o, lr_ref, start_lr, final_lr, wd, warmup):
+                loss, grads = jax.value_and_grad(loss_fn)(p, feats, verbs, nouns, actions)
+                updates, o = self._adam.update(grads, o)
+                lr = warmup_cosine_lr(
+                    step, warmup_steps=warmup, start_lr=start_lr, ref_lr=lr_ref,
+                    t_max=self.total_steps, final_lr=final_lr,
+                )
+                new_p = jax.tree_util.tree_map(
+                    lambda pp, u: pp - lr * (u + (wd * pp if pp.ndim >= 2 else 0.0)),
+                    p, updates,
+                )
+                return new_p, o, loss
 
-            params = _o.apply_updates(params, updates)
-            return params, opt_state, loss
+            params, opt, losses = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
+                params, opt, self.lrs, self.start_lrs, self.final_lrs, self.wds, self.warmups
+            )
+            return params, opt, step + 1, losses
 
         self._train_step = train_step
-        self._logits = jax.jit(lambda p, f: self.model.apply({"params": p}, f))
+        # [P]-stacked probe logits for shared features
+        self._logits = jax.jit(
+            lambda p, f: jax.vmap(lambda pp: self.model.apply({"params": pp}, f))(p)
+        )
 
     def _ensure_state(self, feats):
         if self._state is None:
-            params = self.model.init(jax.random.PRNGKey(self._seed), feats[:1])["params"]
-            self._state = (params, self._tx.init(params))
+            def init_one(key):
+                p = self.model.init(key, feats[:1])["params"]
+                return p, self._adam.init(p)
+
+            keys = jax.random.split(jax.random.PRNGKey(self._seed), self.n)
+            params, opt = jax.vmap(init_one)(keys)
+            self._state = (params, opt, jnp.zeros([], jnp.int32))
 
     def train_batch(self, clips, anticipation_times, verbs, nouns, actions) -> float:
         feats = self._features(
             self._feat_params, jnp.asarray(clips, jnp.float32), jnp.asarray(anticipation_times)
         )
         self._ensure_state(feats)
-        params, opt = self._state
-        params, opt, loss = self._train_step(
-            params, opt, feats, jnp.asarray(verbs), jnp.asarray(nouns), jnp.asarray(actions)
+        params, opt, step = self._state
+        params, opt, step, losses = self._train_step(
+            params, opt, step, feats,
+            jnp.asarray(verbs), jnp.asarray(nouns), jnp.asarray(actions),
         )
-        self._state = (params, opt)
-        return float(loss)
+        self._state = (params, opt, step)
+        return float(losses.mean())
+
+    def save_probes(self, path: str) -> None:
+        """Checkpoint the probe grid (reference saves every classifier + opt
+        state, `eval.py:305-308`)."""
+        from vjepa2_tpu.core.checkpoint import save_params
+
+        assert self._state is not None, "no probe state to save"
+        params, opt, step = self._state
+        save_params(path, {"params": params, "opt": opt, "step": step})
+
+    def restore_probes(self, path: str, feats) -> None:
+        """Restore a probe-grid checkpoint; ``feats`` is one feature batch
+        used to build the shape template (reference `eval.py:292-303`)."""
+        from vjepa2_tpu.core.checkpoint import load_params
+
+        self._ensure_state(feats)
+        params, opt, step = self._state
+        restored = load_params(path, {"params": params, "opt": opt, "step": step})
+        self._state = (restored["params"], restored["opt"], restored["step"])
+
+    def features_for(self, clips, anticipation_times):
+        """Frozen features for a raw batch (template for restore_probes)."""
+        return self._features(
+            self._feat_params, jnp.asarray(clips, jnp.float32), jnp.asarray(anticipation_times)
+        )
 
     def evaluate(self, loader, k: int = 5, valid_action_classes=None) -> dict:
-        params, _ = self._state
-        nv = self.model.num_verbs
+        assert self._state is not None, (
+            "evaluate() needs probe state: train first or restore_probes()"
+        )
+        params, _, _ = self._state
+        heads = {
+            "verb": self.model.num_verbs,
+            "noun": self.model.num_nouns,
+            "action": self.model.num_actions,
+        }
+        # one recall meter per (head, probe) — reference `eval.py:618-621`
         metrics = {
-            "verb": ClassMeanRecall(self.model.num_verbs, k=k),
-            "noun": ClassMeanRecall(self.model.num_nouns, k=k),
-            "action": ClassMeanRecall(self.model.num_actions, k=k),
+            name: [ClassMeanRecall(n_cls, k=k) for _ in range(self.n)]
+            for name, n_cls in heads.items()
         }
         for clips, at, verbs, nouns, actions in loader:
             feats = self._features(
-            self._feat_params, jnp.asarray(clips, jnp.float32), jnp.asarray(at)
-        )
-            lv, ln, la = self._logits(params, feats)
-            metrics["verb"].update(np.asarray(lv), verbs)
-            metrics["noun"].update(np.asarray(ln), nouns)
-            metrics["action"].update(np.asarray(la), actions, valid_classes=valid_action_classes)
-        return {name: m.compute() for name, m in metrics.items()}
+                self._feat_params, jnp.asarray(clips, jnp.float32), jnp.asarray(at)
+            )
+            lv, ln, la = self._logits(params, feats)  # each [P, B, n_cls]
+            for pi in range(self.n):
+                metrics["verb"][pi].update(np.asarray(lv[pi]), verbs)
+                metrics["noun"][pi].update(np.asarray(ln[pi]), nouns)
+                metrics["action"][pi].update(
+                    np.asarray(la[pi]), actions, valid_classes=valid_action_classes
+                )
+        per_probe = {
+            name: [m.compute() for m in meters] for name, meters in metrics.items()
+        }
+        # reference reports the max over probes per head (`eval.py:705-725`)
+        out = {
+            name: max(vals, key=lambda d: d["recall"]) for name, vals in per_probe.items()
+        }
+        out["per_probe"] = per_probe
+        out["best_probe"] = {
+            name: int(np.argmax([d["recall"] for d in vals]))
+            for name, vals in per_probe.items()
+        }
+        return out

@@ -107,7 +107,8 @@ class DroidTrainer:
         self.ipe = ipe
         self.tx = None  # built in run() once the param-tree shape is known
         os.makedirs(c.folder, exist_ok=True)
-        self.ckpt = CheckpointManager(os.path.join(c.folder, "ckpt"))
+        keep_period = c.meta.save_every_freq * ipe if c.meta.save_every_freq else None
+        self.ckpt = CheckpointManager(os.path.join(c.folder, "ckpt"), keep_period=keep_period)
 
     def make_loader(self):
         c = self.cfg

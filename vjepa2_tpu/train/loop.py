@@ -122,7 +122,12 @@ class Pretrainer:
         )
 
         os.makedirs(c.folder, exist_ok=True)
-        self.ckpt = CheckpointManager(os.path.join(c.folder, "ckpt"))
+        # permanent milestone snapshots every save_every_freq epochs, on top
+        # of the rolling latest-3 (reference `app/vjepa/train.py:516-521`)
+        keep_period = (
+            c.meta.save_every_freq * self.hp.ipe if c.meta.save_every_freq else None
+        )
+        self.ckpt = CheckpointManager(os.path.join(c.folder, "ckpt"), keep_period=keep_period)
         self._step_fns: dict[int, object] = {}
 
         if c.evals:
