@@ -1,0 +1,67 @@
+"""Sharded DROID AC step on the 8-virtual-device CPU mesh.
+
+The reference trains this stage distributed (DDP over encoder+predictor,
+`app/vjepa_droid/train.py:274-276`); here the state is placed per the FSDP
+rules and the batch sharded over (data, fsdp). The test asserts the step
+runs sharded AND matches the single-device step numerically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vjepa2_tpu.core.mesh import MeshConfig, make_mesh
+from vjepa2_tpu.models.ac_predictor import vit_ac_predictor
+from vjepa2_tpu.models.vision_transformer import vit_tiny
+from vjepa2_tpu.train.droid import (
+    DroidHParams,
+    init_droid_params,
+    jit_droid_train_step,
+    make_droid_optimizer,
+    make_droid_train_step,
+)
+from vjepa2_tpu.train.pretrain import shard_state
+from vjepa2_tpu.train.state import TrainState
+
+
+def _setup(B, T, S):
+    encoder = vit_tiny(img_size=(S, S), num_frames=2, tubelet_size=2, use_rope=True)
+    predictor = vit_ac_predictor(
+        img_size=(S, S), patch_size=16, num_frames=2 * T, tubelet_size=2,
+        embed_dim=192, predictor_embed_dim=64, depth=2, num_heads=2,
+    )
+    hp = DroidHParams(lr=1e-3, start_lr=1e-3, warmup_steps=0, anneal_steps=10,
+                      total_steps=100, auto_steps=2)
+    params, enc_params, tpf = init_droid_params(encoder, predictor, 0, (B, T, S, S, 3))
+    tx = make_droid_optimizer(hp, params_like=params)
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                       target_params=enc_params, opt_state=tx.init(params))
+    return encoder, predictor, tx, hp, state, tpf
+
+
+def test_droid_step_sharded_matches_single_device():
+    assert jax.device_count() >= 8, "conftest forces 8 virtual CPU devices"
+    B, T, S = 8, 4, 32
+    rs = np.random.RandomState(0)
+    clips = np.asarray(rs.rand(B, T, S, S, 3), np.float32)
+    actions = np.asarray(rs.rand(B, T - 1, 7) * 0.1, np.float32)
+    states = np.asarray(rs.rand(B, T, 7), np.float32)
+
+    # single device reference
+    encoder, predictor, tx, hp, state1, tpf = _setup(B, T, S)
+    step1 = jax.jit(make_droid_train_step(encoder, predictor, tx, hp, tpf))
+    state1, m1 = step1(state1, jnp.asarray(clips), jnp.asarray(actions), jnp.asarray(states))
+
+    # dp2 x fsdp2 x tp2 mesh
+    encoder, predictor, tx, hp, state8, tpf = _setup(B, T, S)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, model=2), devices=jax.devices()[:8])
+    state8 = shard_state(state8, mesh)
+    step8 = jit_droid_train_step(
+        make_droid_train_step(encoder, predictor, tx, hp, tpf), mesh
+    )
+    state8, m8 = step8(state8, clips, actions, states, None)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # params actually sharded over the mesh (not replicated-on-one-device)
+    qkv = state8.params["predictor"]["predictor_blocks_0"]["attn"]["qkv"]["kernel"]
+    assert len(qkv.sharding.device_set) > 1, qkv.sharding

@@ -130,6 +130,8 @@ def test_droid_trainer_real_loader(droid_manifest, tmp_path):
         "optimization": {"lr": 1e-3, "start_lr": 1e-3, "warmup": 0, "epochs": 1,
                          "ipe": 2, "anneal": 1},
         "loss": {"auto_steps": 2},
+        # batch 2 on the 8-virtual-device conftest: shard over 2, replicate rest
+        "mesh": {"data": 2, "fsdp": 1, "model": 1},
     })
     tr = DroidTrainer(cfg)
     assert tr.frames_per_clip == 4

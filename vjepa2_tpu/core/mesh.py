@@ -36,14 +36,16 @@ class MeshConfig:
         if d == -1:
             assert n % (f * m) == 0, f"{n} devices not divisible by fsdp*model={f * m}"
             d = n // (f * m)
-        assert d * f * m == n, f"mesh {d}x{f}x{m} != {n} devices"
+        # an explicit mesh may use a subset of the visible devices (e.g. a
+        # small-batch job on a big slice); with data=-1 it must cover all
+        assert d * f * m <= n, f"mesh {d}x{f}x{m} > {n} devices"
         return d, f, m
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     d, f, m = cfg.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(d, f, m)
+    dev_array = np.asarray(devices[: d * f * m]).reshape(d, f, m)
     return Mesh(dev_array, axis_names=("data", "fsdp", "model"))
 
 

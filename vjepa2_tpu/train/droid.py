@@ -170,6 +170,23 @@ def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_f
     return train_step
 
 
+def jit_droid_train_step(train_step, mesh):
+    """jit with the batch (clips/actions/states/extrinsics) sharded over the
+    (data, fsdp) axes; state shardings propagate from the placed input state
+    (same scheme as `pretrain.jit_train_step`). The reference runs this stage
+    data-parallel via DDP (`app/vjepa_droid/train.py:274-276`)."""
+    from jax.sharding import NamedSharding
+
+    from vjepa2_tpu.core.mesh import batch_spec
+
+    data_sh = NamedSharding(mesh, batch_spec())
+    return jax.jit(
+        train_step,
+        in_shardings=(None, data_sh, data_sh, data_sh, data_sh),
+        donate_argnums=(0,),
+    )
+
+
 def init_droid_params(encoder, predictor, seed: int, clip_shape, action_dim: int = 7,
                       train_encoder: bool = False):
     """Init: encoder params become the (frozen) target; predictor params train.

@@ -27,9 +27,11 @@ from vjepa2_tpu.data.transforms import VideoTransform
 from vjepa2_tpu.data.video import synthetic_clip
 from vjepa2_tpu.models.ac_predictor import vit_ac_predictor
 from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
+from vjepa2_tpu.data.prefetch import device_prefetch
 from vjepa2_tpu.train.droid import (
     DroidHParams,
     init_droid_params,
+    jit_droid_train_step,
     make_droid_optimizer,
     make_droid_train_step,
 )
@@ -153,35 +155,68 @@ class DroidTrainer:
             step=jnp.zeros([], jnp.int32), params=params, target_params=enc_params,
             opt_state=self.tx.init(params),
         )
+        # shard over the mesh (reference DDP-wraps encoder+predictor for this
+        # stage, `app/vjepa_droid/train.py:274-276`); state placement follows
+        # the same FSDP/TP rules as pretraining
+        from vjepa2_tpu.train.pretrain import shard_state
+
+        state = shard_state(state, self.mesh)
         if self.ckpt.latest_step() is not None and c.meta.load_checkpoint:
             state = self.ckpt.restore(state)
-        step_fn = jax.jit(
+        step_fn = jit_droid_train_step(
             make_droid_train_step(self.encoder, self.predictor, self.tx, self.hp, tpf),
-            donate_argnums=(0,),
+            self.mesh,
         )
         csv = CSVLogger(
             os.path.join(c.folder, f"droid_log_r{jax.process_index()}.csv"),
             ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"), ("%.2f", "iter_ms"),
         )
+        use_extr = self.cfg.model.use_extrinsics
+
+        def stage(batch):
+            clips, actions, states_p, extr = batch
+            return (
+                np.asarray(clips, np.float32),
+                np.asarray(actions, np.float32),
+                np.asarray(states_p, np.float32),
+                np.asarray(extr, np.float32) if use_extr else None,
+            )
+
         last = float("nan")
         start_epoch = int(state.step) // self.ipe
         for epoch in range(start_epoch, epochs):
-            meter = AverageMeter()
-            for itr, batch in enumerate(self.make_loader()):
-                clips, actions, states_p, extr = batch
-                t0 = time.perf_counter()
-                e = jnp.asarray(extr) if self.cfg.model.use_extrinsics else None
-                state, m = step_fn(
-                    state, jnp.asarray(clips, jnp.float32), jnp.asarray(actions),
-                    jnp.asarray(states_p), e,
-                )
-                loss = float(m["loss"])
-                assert np.isfinite(loss)
-                dt = (time.perf_counter() - t0) * 1e3
-                meter.update(loss)
-                csv.log(epoch, itr, loss, dt)
-                if itr % log_every == 0:
-                    logger.info("droid epoch %d itr %d loss %.4f", epoch, itr, loss)
+            meter, time_meter = AverageMeter(), AverageMeter()
+            pending: list[tuple[int, object]] = []
+            window_t0 = time.perf_counter()
+
+            def drain():
+                # fetch queued losses in one sync instead of stalling per step
+                # (the pretrain loop's pending/drain pattern, `loop.py:240-254`)
+                nonlocal window_t0
+                if not pending:
+                    return
+                dt_ms = (time.perf_counter() - window_t0) * 1e3 / len(pending)
+                for itr_i, m in pending:
+                    loss_i = float(m["loss"])
+                    assert np.isfinite(loss_i), f"non-finite loss at itr {itr_i}"
+                    meter.update(loss_i)
+                    time_meter.update(dt_ms)
+                    csv.log(epoch, itr_i, loss_i, dt_ms)
+                pending.clear()
+                window_t0 = time.perf_counter()
+
+            for itr, (clips, actions, states_p, extr) in enumerate(
+                device_prefetch(self.make_loader(), size=2, transform=stage)
+            ):
+                state, m = step_fn(state, clips, actions, states_p, extr)
+                pending.append((itr, m))
+                if itr % log_every == 0 or len(pending) >= log_every:
+                    drain()
+                    logger.info(
+                        "droid epoch %d itr %d loss %.4f (avg %.4f) %.0f ms",
+                        epoch, itr, meter.val, meter.avg, time_meter.avg,
+                    )
+            drain()
             last = meter.avg
             self.ckpt.save(int(state.step), state, wait=True)
         return {"loss": last, "step": int(state.step)}
