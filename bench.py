@@ -144,6 +144,7 @@ def bench_encode(args, n_runs: int = 2):
         tubelet_size=2,
         use_rope=True,
         uniform_power=True,
+        use_flash=not args.no_flash,  # supports() falls back off-TPU
         dtype=jnp.bfloat16,
     )
     B, T, S = args.batch, args.frames, args.size
@@ -211,6 +212,7 @@ def bench_pretrain(args, n_runs: int = 2):
         use_rope=True,
         num_mask_tokens=2,
         use_activation_checkpointing=args.remat,
+        use_flash=not args.no_flash,
         dtype=jnp.bfloat16,
     )
     coll = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
@@ -331,12 +333,13 @@ def bench_ac(args):
 
     B, T, S = args.batch, args.frames, args.size
     encoder = MODEL_REGISTRY[args.model](
-        img_size=(S, S), num_frames=2, tubelet_size=2, use_rope=True, dtype=jnp.bfloat16
+        img_size=(S, S), num_frames=2, tubelet_size=2, use_rope=True,
+        use_flash=not args.no_flash, dtype=jnp.bfloat16
     )
     predictor = vit_ac_predictor(
         img_size=(S, S), patch_size=16, num_frames=2 * T, tubelet_size=2,
         embed_dim=encoder.embed_dim, predictor_embed_dim=1024, depth=24,
-        num_heads=16, dtype=jnp.bfloat16,
+        num_heads=16, use_flash=not args.no_flash, dtype=jnp.bfloat16,
     )
     hp = DroidHParams(total_steps=1000, warmup_steps=10, anneal_steps=100, auto_steps=2)
     params, enc_params, tpf = init_droid_params(encoder, predictor, 0, (B, T, S, S, 3))
@@ -424,6 +427,8 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no-flash", action="store_true",
+                    help="time the XLA attention path instead of the Pallas kernel")
     args = ap.parse_args()
 
     from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY

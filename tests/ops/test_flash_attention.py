@@ -168,12 +168,18 @@ def test_flash_bf16():
 
 
 def test_supports_gates():
-    assert supports(2048, 64, has_mask=False, is_causal=False)
-    assert supports(2048, 64, has_mask=True, is_causal=False)  # segment mask OK
-    assert supports(2048, 64, has_mask=False, is_causal=True)  # token-causal OK
-    # segments + causal together: the kernel would silently drop the causal
-    # constraint (segments win in `_fwd_kernel`), so the gate rejects it
-    assert not supports(2048, 64, has_mask=True, is_causal=True)
-    assert supports(18432, 128, has_mask=False, is_causal=False)  # streaming: long seq OK
-    assert not supports(100, 64, has_mask=False, is_causal=False)  # unaligned N
-    assert not supports(2048, 63, has_mask=False, is_causal=False)  # odd head dim
+    # off-TPU without forced interpret mode the gate is closed outright, so
+    # use_flash=True is safe on any host (falls back to the XLA path)
+    assert not supports(2048, 64, has_mask=False, is_causal=False)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        assert supports(2048, 64, has_mask=False, is_causal=False)
+        assert supports(2048, 64, has_mask=True, is_causal=False)  # segment mask OK
+        assert supports(2048, 64, has_mask=False, is_causal=True)  # token-causal OK
+        # segments + causal together: the kernel would silently drop the causal
+        # constraint (segments win in `_fwd_kernel`), so the gate rejects it
+        assert not supports(2048, 64, has_mask=True, is_causal=True)
+        assert supports(18432, 128, has_mask=False, is_causal=False)  # streaming: long seq
+        assert not supports(100, 64, has_mask=False, is_causal=False)  # unaligned N
+        assert not supports(2048, 63, has_mask=False, is_causal=False)  # odd head dim

@@ -1,0 +1,107 @@
+"""Ring-attention context parallelism wired end to end (VERDICT r2 #2).
+
+The reference scales the 64f cooldown purely data-parallel across 32x8 GPUs
+(`configs/train/vitl16/cooldown-256px-64f.yaml:5-17`); here the long-clip
+token dimension ring-shards over the mesh 'model' axis instead. These tests
+run a cooldown-shaped pretrain step on the 8-virtual-device CPU mesh and
+assert (a) numerics match the unsharded step, (b) the ring actually rides
+ICI collectives (collective-permute in the compiled HLO), and (c) the
+YAML -> Pretrainer plumbing (context_parallel / use_flash keys) works.
+"""
+
+import os
+import unittest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vjepa2_tpu.core.mesh import MeshConfig, make_mesh
+from vjepa2_tpu.masks.multiblock3d import MaskCollator
+from vjepa2_tpu.models.predictor import VisionTransformerPredictor
+from vjepa2_tpu.models.vision_transformer import VisionTransformer
+from vjepa2_tpu.ops.ring_attention import seq_sharded_attention
+from vjepa2_tpu.train.pretrain import (
+    PretrainHParams,
+    init_params,
+    jit_train_step,
+    make_optimizer,
+    make_train_step,
+    shard_state,
+)
+from vjepa2_tpu.train.state import TrainState
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B, T, S = 8, 16, 64  # 16f @ 64px -> 8x16 = 128 tokens (cooldown-shaped)
+
+
+def _models(cp_attend=None):
+    enc = VisionTransformer(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=64, depth=2, num_heads=2, use_rope=True,
+        cp_attend=cp_attend, dtype=jnp.float32,
+    )
+    pred = VisionTransformerPredictor(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=64, predictor_embed_dim=64, depth=1, num_heads=2,
+        use_mask_tokens=True, num_mask_tokens=1, use_rope=True,
+        cp_attend=cp_attend, dtype=jnp.float32,
+    )
+    return enc, pred
+
+
+def _one_step(cp: bool):
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, model=4))
+    cp_attend = seq_sharded_attention(mesh, "model") if cp else None
+    enc, pred = _models(cp_attend)
+    cfgs = [{"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+             "aspect_ratio": (0.75, 1.5), "num_blocks": 2}]
+    coll = MaskCollator(cfgs, dataset_fpcs=[T], crop_size=(S, S))
+    coll.step()
+    me, mp = coll(T, B)
+    hp = PretrainHParams(epochs=1, ipe=10, warmup_epochs=0)
+    tx = make_optimizer(hp)
+    params, target = init_params(
+        enc, pred, 0, (B, T, S, S, 3), jnp.asarray(me[0]), jnp.asarray(mp[0])
+    )
+    state = TrainState.create(params, target, tx)
+    state = shard_state(state, mesh, tp=not cp)
+    step = jit_train_step(make_train_step(enc, pred, tx, hp), mesh)
+    clips = jnp.asarray(np.random.RandomState(0).rand(B, T, S, S, 3), jnp.float32)
+    args = (state, clips, tuple(jnp.asarray(m) for m in me), tuple(jnp.asarray(m) for m in mp))
+    lowered = step.lower(*args)
+    hlo = lowered.compile().as_text()
+    state, metrics = step(*args)
+    return float(metrics["loss"]), hlo
+
+
+class TestContextParallel(unittest.TestCase):
+    def test_cp_step_matches_unsharded_and_rides_the_ring(self):
+        loss_cp, hlo_cp = _one_step(cp=True)
+        loss_ref, _ = _one_step(cp=False)
+        self.assertTrue(np.isfinite(loss_cp))
+        # same program up to reduction order: ring online-softmax vs one-shot
+        self.assertAlmostEqual(loss_cp, loss_ref, places=4)
+        # the K/V blocks must actually rotate over ICI
+        self.assertIn("collective-permute", hlo_cp)
+
+    def test_smoke_flash_cp_config_end_to_end(self):
+        """YAML -> Pretrainer plumbing for use_flash + context_parallel."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from vjepa2_tpu.core.config import load_config
+        from vjepa2_tpu.train.loop import Pretrainer
+
+        cfg = load_config(os.path.join(REPO, "configs", "train", "smoke-flash-cp.yaml"))
+        assert cfg.model.use_flash and cfg.model.context_parallel
+        cfg.folder = "/tmp/vjepa2_tpu_smoke_flash_cp_test"
+        trainer = Pretrainer(cfg, synthetic_data=True)
+        self.assertTrue(trainer.context_parallel)
+        with pltpu.force_tpu_interpret_mode():
+            result = trainer.run(epochs=1, log_every=2)
+        self.assertTrue(np.isfinite(result["loss"]))
+
+
+if __name__ == "__main__":
+    unittest.main()

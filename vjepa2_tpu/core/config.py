@@ -72,6 +72,11 @@ class ModelConfig:
     use_activation_checkpointing: bool = False
     use_extrinsics: bool = False  # droid
     max_num_frames: int = 512  # droid
+    # TPU-native switches (beyond the reference's use_sdpa flag,
+    # `src/models/utils/modules.py:243`): Pallas flash attention and
+    # ring-attention context parallelism over the mesh 'model' axis
+    use_flash: bool = False
+    context_parallel: bool = False
 
 
 @dataclass

@@ -65,7 +65,7 @@ def _path_str(path: tuple) -> str:
     return "/".join(str(x) for x in parts)
 
 
-def param_spec(path: tuple, value) -> P:
+def param_spec(path: tuple, value, tp: bool = True) -> P:
     """Sharding rules over the ('fsdp', 'model') axes.
 
     * 'fsdp': ZeRO-3-style parameter sharding — largest dim of >=2D params.
@@ -75,13 +75,15 @@ def param_spec(path: tuple, value) -> P:
       all-reduce after row-parallel layers. Biases/LayerNorms replicated
       (GSPMD reshards as needed).
 
-    With mesh model=1 these all degrade to the pure FSDP rule.
+    With mesh model=1 these all degrade to the pure FSDP rule. ``tp=False``
+    skips the 'model'-axis rules — used when the model axis carries
+    ring-attention context parallelism (tokens, not tensors) instead.
     """
     shape = value.shape
     if len(shape) < 2:
         return P()
     name = _path_str(path)
-    if len(shape) == 2:
+    if len(shape) == 2 and tp:
         d_in, d_out = shape
         is_qkv = "qkv/kernel" in name or name.endswith("kv/kernel")
         col_parallel = is_qkv or ("mlp/fc1" in name) or (d_out > d_in and "mlp" in name)

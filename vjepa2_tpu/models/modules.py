@@ -174,6 +174,11 @@ class Attention(nn.Module):
     flat token indices) plus the static patch-grid dims ``h_patches`` /
     ``w_patches``. ``grid_size`` (if set) rescales spatial ids by
     grid_size / {H', W'} as the AC predictor does.
+
+    ``cp_attend``: optional context-parallel attention callable
+    (``ops.ring_attention.seq_sharded_attention``) — when set, q/k are
+    RoPE-rotated locally and attention runs token-sharded over the mesh
+    'model' axis (takes precedence over ``use_flash``).
     """
 
     dim: int
@@ -183,6 +188,7 @@ class Attention(nn.Module):
     is_causal: bool = False
     grid_size: Optional[int] = None
     use_flash: bool = False
+    cp_attend: Optional[object] = None
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
     proj_init_scale: float = 1.0
@@ -200,7 +206,20 @@ class Attention(nn.Module):
                 grid_size=self.grid_size,
             )
 
-        if attn_mask is None and not self.is_causal:
+        use_cp = (
+            self.cp_attend is not None
+            and attn_mask is None
+            and not self.is_causal
+            # sequences that don't divide the ring fall through to the local
+            # path so flash/RoPE fusion still applies to them
+            and N % getattr(self.cp_attend, "axis_size", 1) == 0
+        )
+        if use_cp:
+            if self.use_rope:
+                q = apply_rope_cache(q, rope_cache)
+                k = apply_rope_cache(k, rope_cache)
+            out = self.cp_attend(q, k, v)
+        elif attn_mask is None and not self.is_causal:
             # RoPE rides into the kernel when the flash path is enabled
             out = attend(
                 q, k, v,
@@ -329,6 +348,7 @@ class Block(nn.Module):
     is_causal: bool = False
     grid_size: Optional[int] = None
     use_flash: bool = False
+    cp_attend: Optional[object] = None
     drop_path_rate: float = 0.0
     layer_id: int = 0  # 0-based; residual rescale uses 1/sqrt(2*(layer_id+1))
     dtype: Dtype = jnp.float32
@@ -357,6 +377,7 @@ class Block(nn.Module):
             is_causal=self.is_causal,
             grid_size=self.grid_size,
             use_flash=self.use_flash,
+            cp_attend=self.cp_attend,
             dtype=self.dtype,
             init_std=self.init_std,
             proj_init_scale=rescale,

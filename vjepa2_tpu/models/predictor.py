@@ -45,6 +45,8 @@ class VisionTransformerPredictor(nn.Module):
     use_silu: bool = False
     wide_silu: bool = True
     use_rope: bool = False
+    use_flash: bool = False
+    cp_attend: Optional[object] = None
     use_activation_checkpointing: bool = False
     return_all_tokens: bool = False
     chop_last_n_tokens: int = 0
@@ -148,6 +150,8 @@ class VisionTransformerPredictor(nn.Module):
                 use_rope=self.use_rope,
                 use_silu=self.use_silu,
                 wide_silu=self.wide_silu,
+                use_flash=self.use_flash,
+                cp_attend=self.cp_attend,
                 layer_id=i,
                 dtype=self.dtype,
                 init_std=self.init_std,

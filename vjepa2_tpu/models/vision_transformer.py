@@ -43,6 +43,7 @@ class VisionTransformer(nn.Module):
     use_rope: bool = False
     use_activation_checkpointing: bool = False
     use_flash: bool = False  # Pallas flash attention (fwd + custom VJP)
+    cp_attend: Optional[object] = None  # ring-attention context parallelism
     out_layers: Optional[Sequence[int]] = None
     handle_nonsquare_inputs: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -161,6 +162,7 @@ class VisionTransformer(nn.Module):
                 use_silu=self.use_silu,
                 wide_silu=self.wide_silu,
                 use_flash=self.use_flash,
+                cp_attend=self.cp_attend,
                 layer_id=i,
                 dtype=self.dtype,
                 init_std=self.init_std,

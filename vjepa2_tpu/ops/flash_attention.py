@@ -26,10 +26,16 @@ rotate q/k in HBM, then F.scaled_dot_product_attention) with one kernel family:
   over Q blocks), the standard flash backward. RoPE gradients use the
   rotation's orthogonality: dX = R(-theta) dX_rot.
 
-Numerics: fp32 accumulation on the MXU, outputs in the input dtype; parity
+Numerics: bf16 matmul inputs with fp32 MXU accumulation (casting inputs to
+fp32 would hit the ~8x slower fp32 MXU path — measured 52 ms vs 4.7 ms for
+one ViT-g-shaped call), softmax in fp32, outputs in the input dtype; parity
 tests run in interpret mode on CPU (`tests/ops/test_flash_attention.py`).
-Hardware enablement stays behind ``supports()`` — Mosaic execution hangs
-through the axon dev tunnel (ROADMAP).
+
+Hardware status (r3): executes on TPU v5e. Block specs obey Mosaic tiling
+(last two block dims (8k, 128k) or equal to the array's); measured at ViT-g
+encode shape (B8 N2048 H16 D88): fwd 4.7 ms vs 9.4 ms XLA fused-softmax,
+blocks 1024x1024. ``supports()`` gates on a real TPU backend (or forced
+interpret mode) so ``use_flash=True`` is safe on any host.
 """
 
 from __future__ import annotations
@@ -42,8 +48,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+DEFAULT_BLOCK_Q = 1024  # v5e sweep at ViT-g encode shape: 1024x1024 fwd 4.65 ms
+DEFAULT_BLOCK_K = 1024  # (256x256: 12.6 ms; 512x512: 6.4 ms) — scripts/probe_flash_perf.py
 NEG_INF = -1e30
 
 
@@ -84,21 +90,29 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # [BLK_Q, D]
-    k = k_ref[0].astype(jnp.float32)  # [BLK_K, D]
+    # keep matmul INPUTS in the storage dtype (bf16 on TPU: the MXU runs
+    # bf16 x bf16 -> fp32-accumulate at full rate; casting inputs to fp32
+    # would decompose to the ~8x slower fp32 path) — only accumulation and
+    # the softmax run in fp32
+    q = q_ref[0]  # [BLK_Q, D]
+    k = k_ref[0]  # [BLK_K, D]
     if use_rope:
-        q = _rope_rotate(q, qcos_ref[0].astype(jnp.float32), qsin_ref[0].astype(jnp.float32))
-        k = _rope_rotate(k, kcos_ref[0].astype(jnp.float32), ksin_ref[0].astype(jnp.float32))
+        q = _rope_rotate(
+            q.astype(jnp.float32), qcos_ref[0], qsin_ref[0]
+        ).astype(q_ref.dtype)
+        k = _rope_rotate(
+            k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
+        ).astype(k_ref.dtype)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BLK_Q, BLK_K]
+    ) * scale  # [BLK_Q, BLK_K] fp32
 
     if causal or use_segments:
         q_i = pl.program_id(1)
         if use_segments:
-            seg_q = seg_ref[0, pl.ds(q_i * block_q, block_q)]
-            seg_k = seg_ref[0, pl.ds(kv_i * block_k, block_k)]
+            seg_q = seg_ref[0, 0, pl.ds(q_i * block_q, block_q)]
+            seg_k = seg_ref[0, 0, pl.ds(kv_i * block_k, block_k)]
             mask = seg_q[:, None] >= seg_k[None, :]
         else:
             rows = q_i * block_q + jax.lax.broadcasted_iota(
@@ -117,7 +131,7 @@ def _fwd_kernel(
     corr = jnp.exp(m_prev - m_new)
     l_new = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_scr[...] = m_new
@@ -127,7 +141,7 @@ def _fwd_kernel(
     def _finish():
         denom = jnp.where(l_scr[...] == 0.0, 1.0, l_scr[...])
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[...] + jnp.log(denom))[:, 0]
+        lse_ref[0] = m_scr[...] + jnp.log(denom)  # [BLK_Q, 1]
 
 
 def _zeros_like_table(q):
@@ -158,6 +172,10 @@ def _flash_fwd_bhnd(
 
     if seg is None:
         seg = jnp.zeros((B, M), jnp.int32)
+    # TPU tiling: the last two dims of a block must be (8k, 128k) or equal
+    # the array dims. seg rides as [B, 1, M] with block (1, 1, M); lse is
+    # emitted as [BH, N, 1] with block (1, BLK_Q, 1) for the same reason.
+    seg3 = seg[:, None, :]
     if qcos is None:
         qcos = qsin = _zeros_like_table(q)
         kcos = ksin = _zeros_like_table(k)
@@ -175,7 +193,7 @@ def _flash_fwd_bhnd(
         grid=grid,
         in_specs=[
             # segment ids: whole row per (b,h) program
-            pl.BlockSpec((1, M), lambda b, i, j, B=B, H=H: (b // H, 0),
+            pl.BlockSpec((1, 1, M), lambda b, i, j, B=B, H=H: (b // H, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -200,12 +218,12 @@ def _flash_fwd_bhnd(
         out_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, N), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, N, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),  # running max
@@ -214,7 +232,7 @@ def _flash_fwd_bhnd(
         ],
         interpret=interpret,
     )(
-        seg,
+        seg3,
         q3,
         k.reshape(B * H, M, D),
         v.reshape(B * H, M, D),
@@ -237,13 +255,15 @@ def _dq_kernel(
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
     if use_rope:
-        qcos = qcos_ref[0].astype(jnp.float32)
-        qsin = qsin_ref[0].astype(jnp.float32)
-        q = _rope_rotate(q, qcos, qsin)
-        k = _rope_rotate(k, kcos_ref[0].astype(jnp.float32), ksin_ref[0].astype(jnp.float32))
+        qcos = qcos_ref[0]
+        qsin = qsin_ref[0]
+        q = _rope_rotate(q.astype(jnp.float32), qcos, qsin).astype(q_ref.dtype)
+        k = _rope_rotate(
+            k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
+        ).astype(k_ref.dtype)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -251,8 +271,8 @@ def _dq_kernel(
     if causal or use_segments:
         q_i = pl.program_id(1)
         if use_segments:
-            seg_q = seg_ref[0, pl.ds(q_i * block_q, block_q)]
-            seg_k = seg_ref[0, pl.ds(kv_i * block_k, block_k)]
+            seg_q = seg_ref[0, 0, pl.ds(q_i * block_q, block_q)]
+            seg_k = seg_ref[0, 0, pl.ds(kv_i * block_k, block_k)]
             mask = seg_q[:, None] >= seg_k[None, :]
         else:
             rows = q_i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -262,14 +282,14 @@ def _dq_kernel(
 
     # fully-masked rows have lse == NEG_INF; exp(s - lse) would be exp(0) = 1
     # for every masked entry, so zero those rows explicitly (ADVICE r2)
-    lse = lse_ref[0][:, None]
+    lse = lse_ref[0]  # [BLK_Q, 1]
     p = jnp.where(lse > NEG_INF * 0.5, jnp.exp(s - lse), 0.0)  # [BLK_Q, BLK_K]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     dp = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        do, v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, None]) * scale
+    ds = (p * (dp - delta_ref[0]) * scale).astype(k.dtype)
     dq_scr[...] += jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -297,13 +317,15 @@ def _dkv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
     if use_rope:
-        kcos = kcos_ref[0].astype(jnp.float32)
-        ksin = ksin_ref[0].astype(jnp.float32)
-        q = _rope_rotate(q, qcos_ref[0].astype(jnp.float32), qsin_ref[0].astype(jnp.float32))
-        k = _rope_rotate(k, kcos, ksin)
+        kcos = kcos_ref[0]
+        ksin = ksin_ref[0]
+        q = _rope_rotate(
+            q.astype(jnp.float32), qcos_ref[0], qsin_ref[0]
+        ).astype(q_ref.dtype)
+        k = _rope_rotate(k.astype(jnp.float32), kcos, ksin).astype(k_ref.dtype)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -311,8 +333,8 @@ def _dkv_kernel(
     kv_i = pl.program_id(1)
     if causal or use_segments:
         if use_segments:
-            seg_q = seg_ref[0, pl.ds(q_i * block_q, block_q)]
-            seg_k = seg_ref[0, pl.ds(kv_i * block_k, block_k)]
+            seg_q = seg_ref[0, 0, pl.ds(q_i * block_q, block_q)]
+            seg_k = seg_ref[0, 0, pl.ds(kv_i * block_k, block_k)]
             mask = seg_q[:, None] >= seg_k[None, :]
         else:
             rows = q_i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -320,17 +342,18 @@ def _dkv_kernel(
             mask = rows >= cols
         s = jnp.where(mask, s, NEG_INF)
 
-    lse = lse_ref[0][:, None]
+    lse = lse_ref[0]  # [BLK_Q, 1]
     p = jnp.where(lse > NEG_INF * 0.5, jnp.exp(s - lse), 0.0)
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     dv_scr[...] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = jax.lax.dot_general(
-        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta_ref[0][:, None]) * scale
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta_ref[0]) * scale).astype(q.dtype)
     dk_scr[...] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -362,6 +385,7 @@ def _flash_bwd_bhnd(
     use_rope = qcos is not None
     if seg is None:
         seg = jnp.zeros((B, M), jnp.int32)
+    seg3 = seg[:, None, :]  # TPU block-tiling legal layout (see fwd)
     if qcos is None:
         qcos = qsin = _zeros_like_table(q)
         kcos = ksin = _zeros_like_table(k)
@@ -373,10 +397,10 @@ def _flash_bwd_bhnd(
     k3 = k.reshape(B * H, M, D)
     v3 = v.reshape(B * H, M, D)
     do3 = do.reshape(B * H, N, D)
-    lse2 = lse.reshape(B * H, N)
-    delta2 = delta.reshape(B * H, N)
+    lse2 = lse.reshape(B * H, N, 1)
+    delta2 = delta.reshape(B * H, N, 1)
 
-    seg_spec = pl.BlockSpec((1, M), lambda b, i, j, B=B, H=H: (b // H, 0),
+    seg_spec = pl.BlockSpec((1, 1, M), lambda b, i, j, B=B, H=H: (b // H, 0, 0),
                             memory_space=pltpu.VMEM)
 
     # dq: grid (BH, nq, nk) — k innermost, dq accumulates in scratch
@@ -392,8 +416,8 @@ def _flash_bwd_bhnd(
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i, j, H=H, tb=tb: ((b // H) % tb, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i, j, H=H, tb=tb: ((b // H) % tb, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, i, j, H=H, tb=tb: ((b // H) % tb, j, 0), memory_space=pltpu.VMEM),
@@ -403,7 +427,7 @@ def _flash_bwd_bhnd(
         out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
-    )(seg, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
+    )(seg3, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
 
     # dk/dv: grid (BH, nk, nq) — q innermost, dk/dv accumulate in scratch
     dk, dv = pl.pallas_call(
@@ -413,13 +437,13 @@ def _flash_bwd_bhnd(
         ),
         grid=(B * H, M // block_k, N // block_q),
         in_specs=[
-            pl.BlockSpec((1, M), lambda b, j, i, B=B, H=H: (b // H, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda b, j, i, B=B, H=H: (b // H, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, j, i, H=H, tb=tb: ((b // H) % tb, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, j, i, H=H, tb=tb: ((b // H) % tb, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, j, i, H=H, tb=tb: ((b // H) % tb, j, 0), memory_space=pltpu.VMEM),
@@ -438,7 +462,7 @@ def _flash_bwd_bhnd(
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
         interpret=interpret,
-    )(seg, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
+    )(seg3, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
 
     return (
         dq.reshape(B, H, N, D),
@@ -610,9 +634,30 @@ def flash_attention(
     return out.transpose(0, 2, 1, 3)
 
 
+def _mosaic_available() -> bool:
+    """True when Pallas TPU kernels can actually execute here: a real TPU
+    backend, or CPU under ``pltpu.force_tpu_interpret_mode()`` (tests)."""
+    try:
+        from jax._src import config as _jcfg
+
+        if _jcfg.pallas_tpu_interpret_mode_context_manager.value is not None:
+            return True
+    except Exception:
+        pass
+    try:
+        d = jax.devices()[0]
+        return d.platform == "tpu" or getattr(d, "device_kind", "").startswith("TPU")
+    except Exception:
+        return False
+
+
 def supports(n: int, d: int, has_mask: bool, is_causal: bool,
              block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K) -> bool:
-    """Shapes/mask configs the kernels handle (hardware gate)."""
+    """Shapes/mask configs the kernels handle, AND the backend can run them —
+    so ``use_flash=True`` is safe on any host: CPU without interpret mode
+    falls back to the XLA path instead of failing in Mosaic lowering."""
+    if not _mosaic_available():
+        return False
     if has_mask and is_causal:
         # the kernels apply EITHER the segment mask OR token-causal, never
         # both (`_fwd_kernel`: segments win) — reject the combination rather

@@ -116,10 +116,21 @@ def seq_sharded_attention(mesh, axis_name: str = "model"):
         return ring_attention(q, k, v, axis_name, axis_size)
 
     def apply(q, k, v, segment_ids=None):
+        if q.shape[1] % axis_size != 0:
+            # sequences that don't divide the axis (e.g. masked context
+            # forwards with irregular static lengths) fall back to local
+            # attention — GSPMD decides their layout; the ring only carries
+            # the long, divisible full-clip sequences it exists for.
+            # (callers that know their kernel options gate on
+            # ``apply.axis_size`` and route around this themselves)
+            from vjepa2_tpu.ops.attention import attend
+
+            return attend(q, k, v, segment_ids=segment_ids)
         if segment_ids is None:
             return _sharded_nomask(q, k, v)
         if segment_ids.ndim == 1:
             segment_ids = jnp.broadcast_to(segment_ids[None], (q.shape[0], q.shape[1]))
         return _sharded(q, k, v, segment_ids.astype(jnp.int32))
 
+    apply.axis_size = axis_size
     return apply

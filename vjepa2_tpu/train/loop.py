@@ -75,6 +75,19 @@ class Pretrainer:
         self.mesh = make_mesh(MeshConfig(c.mesh.data, c.mesh.fsdp, c.mesh.model))
         self.fpcs = sorted(set(c.data.dataset_fpcs))
 
+        # context parallelism: ring attention token-shards the long (64f+)
+        # sequences over the mesh 'model' axis (reference scales the 64f
+        # cooldown by throwing 32x8 GPUs at it data-parallel only,
+        # `configs/train/vitl16/cooldown-256px-64f.yaml:5-17`)
+        self.context_parallel = bool(
+            c.model.context_parallel and self.mesh.shape["model"] > 1
+        )
+        cp_attend = None
+        if self.context_parallel:
+            from vjepa2_tpu.ops.ring_attention import seq_sharded_attention
+
+            cp_attend = seq_sharded_attention(self.mesh, "model")
+
         self.encoder, self.predictor = build_models(
             model_name=c.model.model_name,
             crop_size=c.data.crop_size,
@@ -90,6 +103,8 @@ class Pretrainer:
             num_mask_tokens=len(c.mask) * len(self.fpcs),
             zero_init_mask_tokens=c.model.zero_init_mask_tokens,
             use_activation_checkpointing=c.model.use_activation_checkpointing,
+            use_flash=c.model.use_flash,
+            cp_attend=cp_attend,
             dtype=self.dtype,
         )
 
@@ -195,7 +210,7 @@ class Pretrainer:
             num_params(params["encoder"]) / 1e6,
             num_params(params["predictor"]) / 1e6,
         )
-        return shard_state(state, self.mesh)
+        return shard_state(state, self.mesh, tp=not self.context_parallel)
 
     def restore_or_init(self) -> TrainState:
         state = self.init_state()

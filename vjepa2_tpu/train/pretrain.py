@@ -70,9 +70,17 @@ def build_models(
     num_mask_tokens: int = 2,
     zero_init_mask_tokens: bool = True,
     use_activation_checkpointing: bool = False,
+    use_flash: bool = False,
+    cp_attend=None,
     dtype=jnp.bfloat16,
 ) -> tuple[VisionTransformer, VisionTransformerPredictor]:
-    """Mirror of reference `app/vjepa/utils.py:init_video_model`."""
+    """Mirror of reference `app/vjepa/utils.py:init_video_model`.
+
+    ``use_flash`` routes attention through the Pallas kernel (reference's
+    use_sdpa flag, `src/models/utils/modules.py:243`); ``cp_attend`` is a
+    ring-attention callable from ``seq_sharded_attention`` for context
+    parallelism over the mesh (64f cooldown memory headroom).
+    """
     enc = MODEL_REGISTRY[model_name](
         patch_size=patch_size,
         img_size=(crop_size, crop_size),
@@ -83,6 +91,8 @@ def build_models(
         use_silu=use_silu,
         wide_silu=wide_silu,
         use_activation_checkpointing=use_activation_checkpointing,
+        use_flash=use_flash,
+        cp_attend=cp_attend,
         dtype=dtype,
     )
     pred = VisionTransformerPredictor(
@@ -102,6 +112,8 @@ def build_models(
         num_mask_tokens=num_mask_tokens,
         zero_init_mask_tokens=zero_init_mask_tokens,
         use_activation_checkpointing=use_activation_checkpointing,
+        use_flash=use_flash,
+        cp_attend=cp_attend,
         dtype=dtype,
     )
     return enc, pred
@@ -202,13 +214,16 @@ def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: S
     return train_step
 
 
-def shard_state(state: TrainState, mesh) -> TrainState:
-    """Place the train state on the mesh per the FSDP param rules."""
+def shard_state(state: TrainState, mesh, tp: bool = True) -> TrainState:
+    """Place the train state on the mesh per the FSDP/TP param rules.
+
+    ``tp=False`` when the mesh 'model' axis is used for context parallelism
+    (ring attention) rather than tensor parallelism."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def place(path, leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 2:
-            return jax.device_put(leaf, NamedSharding(mesh, param_spec(path, leaf)))
+            return jax.device_put(leaf, NamedSharding(mesh, param_spec(path, leaf, tp=tp)))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(place, state)
