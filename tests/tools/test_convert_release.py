@@ -1,0 +1,72 @@
+"""`tools/convert_release.py` — one-command release-weights conversion
+(VERDICT r2 #9). Fabricates a release-format torch checkpoint from the
+actual reference modules (tiny dims), runs the tool, and checks the orbax
+artifacts + sha256 gate. The real-data parity run stays blocked on egress
+(documented in the tool's docstring); this proves the command works end to
+end on a genuine `.pt`."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.reference.refimport import import_reference_models
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+TOOL = os.path.join(REPO, "tools", "convert_release.py")
+
+
+@pytest.fixture(scope="module")
+def release_pt(tmp_path_factory):
+    """Release-format dict: {"encoder": sd, "predictor": sd} with module./
+    backbone. prefixes like the published files (`src/hub/backbones.py:22-28`)."""
+    ref_vit, ref_pred, _ = import_reference_models()
+    torch.manual_seed(0)
+    enc = ref_vit.vit_tiny(img_size=(32, 32), num_frames=4, tubelet_size=2, use_rope=True)
+    pred = ref_pred.vit_predictor(
+        img_size=(32, 32), patch_size=16, num_frames=4, tubelet_size=2,
+        embed_dim=192, predictor_embed_dim=64, depth=1, num_heads=2,
+        use_mask_tokens=True, num_mask_tokens=2, use_rope=True,
+    )
+    path = tmp_path_factory.mktemp("release") / "vitt.pt"
+    torch.save(
+        {
+            "encoder": {f"module.backbone.{k}": v for k, v in enc.state_dict().items()},
+            "predictor": {f"module.backbone.{k}": v for k, v in pred.state_dict().items()},
+        },
+        path,
+    )
+    return str(path)
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, TOOL] + args,
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+
+
+def test_convert_release_skip_eval(release_pt, tmp_path):
+    out = tmp_path / "flax"
+    r = _run(["--pt", release_pt, "--model", "vit_large", "--out", str(out), "--skip-eval"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sha256(" in r.stdout
+    assert os.path.isdir(out / "encoder")
+    assert os.path.isdir(out / "predictor")
+    # converted params load back
+    from vjepa2_tpu.core.checkpoint import load_params
+
+    params = load_params(str(out / "encoder"))
+    assert "patch_embed" in params
+
+
+def test_convert_release_sha_gate(release_pt, tmp_path):
+    r = _run(["--pt", release_pt, "--out", str(tmp_path / "x"),
+              "--expect-sha256", "0" * 64, "--skip-eval"])
+    assert r.returncode != 0
+    assert "mismatch" in (r.stderr + r.stdout)

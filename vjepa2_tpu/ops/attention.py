@@ -72,6 +72,9 @@ def sdpa(
     return _manual_sdpa(q, k, v, attn_mask, is_causal, scale)
 
 
+MIN_FLASH_PAD_N = 512  # below this the N^2 matrices are cheap; skip padding
+
+
 def attend(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -87,22 +90,58 @@ def attend(
     [N] or [B, N] int; token i attends to j iff seg[i] >= seg[j].
 
     With ``use_flash`` and a supported shape this runs the Pallas streaming
-    kernel (RoPE fused, O(N) mask, custom VJP); otherwise RoPE is applied in
-    XLA and the fused-softmax sdpa handles the boolean mask.
+    kernel (RoPE fused, O(N) mask, custom VJP). Unaligned sequence lengths
+    (masked context forwards, predictor ctx+pred concats) are padded to the
+    sublane tile with segment-id masking — pad keys get segment max+1 so no
+    real query attends to them, and the pad rows are sliced off after —
+    which keeps the whole training step on the kernel. Otherwise RoPE is
+    applied in XLA and the fused-softmax sdpa handles the boolean mask.
     """
     from vjepa2_tpu.ops.rope import apply_rope_cache
 
-    n, d = q.shape[1], q.shape[-1]
+    B, n, _, d = q.shape
     if use_flash:
         from vjepa2_tpu.ops import flash_attention as fa
 
-        if fa.supports(n, d, segment_ids is not None, False):
+        # Padding amount is a free choice: more pad can buy a much better
+        # block factorization (1623 -> 1624 only factors as 232-wide blocks
+        # and LOSES to XLA; 1623 -> 1664 runs 832-wide blocks and wins by
+        # ~25%). Take the smallest pad whose padded length admits a >=512
+        # block, searching up to +128 extra rows (<8% waste at these sizes).
+        pad = (-n) % 8
+        if pad or fa.pick_block(n, fa.DEFAULT_BLOCK_Q) < 512:
+            best = (pad, fa.pick_block(n + pad, fa.DEFAULT_BLOCK_Q))
+            for extra in range(pad, pad + 129, 8):
+                blk = fa.pick_block(n + extra, fa.DEFAULT_BLOCK_Q)
+                if blk > best[1]:
+                    best = (extra, blk)
+                if best[1] >= 512:
+                    break
+            pad = best[0]
+        n_pad = n + pad
+        if fa.supports(n_pad, d, segment_ids is not None or pad > 0, False) and (
+            pad == 0 or n >= MIN_FLASH_PAD_N
+        ):
             seg = segment_ids
             if seg is not None:
                 if seg.ndim == 1:
-                    seg = jnp.broadcast_to(seg[None], (q.shape[0], n))
+                    seg = jnp.broadcast_to(seg[None], (B, n))
                 seg = seg.astype(jnp.int32)
-            return fa.flash_attention(q, k, v, segment_ids=seg, rope_tables=rope_cache)
+            rc = rope_cache
+            if pad:
+                zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                q, k, v = zpad(q), zpad(k), zpad(v)
+                if seg is None:
+                    seg = jnp.zeros((B, n), jnp.int32)
+                seg = jnp.pad(seg, ((0, 0), (0, pad)),
+                              constant_values=jnp.iinfo(jnp.int32).max)
+                if rc is not None:
+                    cos, sin = rc
+                    widths = ((0, pad), (0, 0)) if cos.ndim == 2 else (
+                        (0, 0), (0, pad), (0, 0))
+                    rc = (jnp.pad(cos, widths), jnp.pad(sin, widths))
+            out = fa.flash_attention(q, k, v, segment_ids=seg, rope_tables=rc)
+            return out[:, :n] if pad else out
     if rope_cache is not None:
         q = apply_rope_cache(q, rope_cache)
         k = apply_rope_cache(k, rope_cache)

@@ -73,8 +73,30 @@ def _rope_rotate_t(g, cos, sin):
     return g * cos + inv
 
 
+def _seg_mask(segq_ref, segk_ref, block_q: int, block_k: int):
+    """[BLK_Q, BLK_K] bool mask seg_q >= seg_k from per-block fp32 segment
+    columns [BLK, 1].
+
+    The column vectors broadcast across lanes via rank-1 dot_generals (outer
+    products with ones) — Mosaic has no cheap (N,1)->(1,N) relayout, and
+    loading a shared seg row at dynamic offsets requires provably-128-aligned
+    indices, which would force 128-multiple blocks and kill block-size
+    freedom for irregular (masked/predictor) sequence lengths."""
+    sq = segq_ref[0]  # [BLK_Q, 1] fp32
+    sk = segk_ref[0]  # [BLK_K, 1] fp32
+    ones_q = jnp.ones((block_q, 1), jnp.float32)
+    ones_k = jnp.ones((block_k, 1), jnp.float32)
+    rows = jax.lax.dot_general(
+        sq, ones_k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cols = jax.lax.dot_general(
+        ones_q, sk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return rows >= cols
+
+
 def _fwd_kernel(
-    seg_ref, q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+    segq_ref, segk_ref, q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale: float, block_q: int, block_k: int, causal: bool, use_rope: bool,
@@ -111,9 +133,7 @@ def _fwd_kernel(
     if causal or use_segments:
         q_i = pl.program_id(1)
         if use_segments:
-            seg_q = seg_ref[0, 0, pl.ds(q_i * block_q, block_q)]
-            seg_k = seg_ref[0, 0, pl.ds(kv_i * block_k, block_k)]
-            mask = seg_q[:, None] >= seg_k[None, :]
+            mask = _seg_mask(segq_ref, segk_ref, block_q, block_k)
         else:
             rows = q_i * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -168,14 +188,16 @@ def _flash_fwd_bhnd(
     block_k = min(block_k, M)
     assert N % block_q == 0 and M % block_k == 0, (N, M, block_q, block_k)
     use_segments = seg is not None
+    assert not use_segments or N == M, "segment ids assume self-attention (N == M)"
     use_rope = qcos is not None
 
     if seg is None:
         seg = jnp.zeros((B, M), jnp.int32)
     # TPU tiling: the last two dims of a block must be (8k, 128k) or equal
-    # the array dims. seg rides as [B, 1, M] with block (1, 1, M); lse is
+    # the array dims. Segments ride as fp32 [B, N|M, 1] columns blocked like
+    # q and k (no dynamic-offset row loads — see `_seg_mask`); lse is
     # emitted as [BH, N, 1] with block (1, BLK_Q, 1) for the same reason.
-    seg3 = seg[:, None, :]
+    segf = seg.astype(jnp.float32)[:, :, None]
     if qcos is None:
         qcos = qsin = _zeros_like_table(q)
         kcos = ksin = _zeros_like_table(k)
@@ -192,8 +214,10 @@ def _flash_fwd_bhnd(
         kernel,
         grid=grid,
         in_specs=[
-            # segment ids: whole row per (b,h) program
-            pl.BlockSpec((1, 1, M), lambda b, i, j, B=B, H=H: (b // H, 0, 0),
+            # segment columns, once blocked by the q index and once by k
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j, H=H: (b // H, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1), lambda b, i, j, H=H: (b // H, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -232,7 +256,7 @@ def _flash_fwd_bhnd(
         ],
         interpret=interpret,
     )(
-        seg3,
+        segf, segf,
         q3,
         k.reshape(B * H, M, D),
         v.reshape(B * H, M, D),
@@ -242,7 +266,7 @@ def _flash_fwd_bhnd(
 
 
 def _dq_kernel(
-    seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    segq_ref, segk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     dq_ref, dq_scr,
     *, scale: float, block_q: int, block_k: int, causal: bool, use_rope: bool,
@@ -271,9 +295,7 @@ def _dq_kernel(
     if causal or use_segments:
         q_i = pl.program_id(1)
         if use_segments:
-            seg_q = seg_ref[0, 0, pl.ds(q_i * block_q, block_q)]
-            seg_k = seg_ref[0, 0, pl.ds(kv_i * block_k, block_k)]
-            mask = seg_q[:, None] >= seg_k[None, :]
+            mask = _seg_mask(segq_ref, segk_ref, block_q, block_k)
         else:
             rows = q_i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -303,7 +325,7 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    segq_ref, segk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale: float, block_q: int, block_k: int, causal: bool, use_rope: bool,
@@ -333,9 +355,7 @@ def _dkv_kernel(
     kv_i = pl.program_id(1)
     if causal or use_segments:
         if use_segments:
-            seg_q = seg_ref[0, 0, pl.ds(q_i * block_q, block_q)]
-            seg_k = seg_ref[0, 0, pl.ds(kv_i * block_k, block_k)]
-            mask = seg_q[:, None] >= seg_k[None, :]
+            mask = _seg_mask(segq_ref, segk_ref, block_q, block_k)
         else:
             rows = q_i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -385,7 +405,7 @@ def _flash_bwd_bhnd(
     use_rope = qcos is not None
     if seg is None:
         seg = jnp.zeros((B, M), jnp.int32)
-    seg3 = seg[:, None, :]  # TPU block-tiling legal layout (see fwd)
+    segf = seg.astype(jnp.float32)[:, :, None]  # fp32 columns (see fwd)
     if qcos is None:
         qcos = qsin = _zeros_like_table(q)
         kcos = ksin = _zeros_like_table(k)
@@ -400,9 +420,6 @@ def _flash_bwd_bhnd(
     lse2 = lse.reshape(B * H, N, 1)
     delta2 = delta.reshape(B * H, N, 1)
 
-    seg_spec = pl.BlockSpec((1, 1, M), lambda b, i, j, B=B, H=H: (b // H, 0, 0),
-                            memory_space=pltpu.VMEM)
-
     # dq: grid (BH, nq, nk) — k innermost, dq accumulates in scratch
     dq = pl.pallas_call(
         functools.partial(
@@ -411,7 +428,8 @@ def _flash_bwd_bhnd(
         ),
         grid=(B * H, N // block_q, M // block_k),
         in_specs=[
-            seg_spec,
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j, H=H: (b // H, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1), lambda b, i, j, H=H: (b // H, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
@@ -427,7 +445,7 @@ def _flash_bwd_bhnd(
         out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
-    )(seg3, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
+    )(segf, segf, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
 
     # dk/dv: grid (BH, nk, nq) — q innermost, dk/dv accumulate in scratch
     dk, dv = pl.pallas_call(
@@ -437,7 +455,8 @@ def _flash_bwd_bhnd(
         ),
         grid=(B * H, M // block_k, N // block_q),
         in_specs=[
-            pl.BlockSpec((1, 1, M), lambda b, j, i, B=B, H=H: (b // H, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i, H=H: (b // H, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1), lambda b, j, i, H=H: (b // H, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
@@ -462,7 +481,7 @@ def _flash_bwd_bhnd(
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
         interpret=interpret,
-    )(seg3, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
+    )(segf, segf, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
 
     return (
         dq.reshape(B, H, N, D),
@@ -570,6 +589,8 @@ def pick_block(n: int, target: int) -> int:
         if n % b == 0 and (b % 8 == 0 or best < 8):
             best = max(best, b)
     return best
+
+
 
 
 def flash_attention_bhnd(
