@@ -1,0 +1,80 @@
+"""64f cooldown memory/step on the real chip (flash attention) — ROADMAP r2
+said bs2 overflowed HBM by 0.8 GB on the XLA attention path; flash removes
+the N^2 score materialization, so re-measure what fits now.
+
+ViT-L 64f@256px = 8192 tokens. Runs the FULL pretrain train step (dual
+encoder fwd + predictor + backward + AdamW + EMA) at increasing batch
+sizes until OOM, printing step time and HBM per step.
+
+Run: timeout 580 python -c "import sys; sys.path.insert(0,'/root/repo'); exec(open('/root/repo/scripts/probe_cooldown_memory.py').read())"
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+from vjepa2_tpu.masks.multiblock3d import MaskCollator
+from vjepa2_tpu.train.pretrain import (
+    PretrainHParams, build_models, init_params, make_optimizer, make_train_step,
+)
+from vjepa2_tpu.train.state import TrainState
+
+T, S = 64, 256
+MASK_CFGS = [
+    {"spatial_scale": (0.15, 0.15), "temporal_scale": (1.0, 1.0),
+     "aspect_ratio": (0.75, 1.5), "num_blocks": 8},
+    {"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+     "aspect_ratio": (0.75, 1.5), "num_blocks": 2},
+]
+
+for B in (1, 2, 4):
+    log(f"--- bs{B} 64f@256px ViT-L pretrain step (remat, flash) ---")
+    try:
+        encoder, predictor = build_models(
+            model_name="vit_large", crop_size=S, num_frames=T,
+            pred_depth=12, pred_embed_dim=384, pred_num_heads=12,
+            use_rope=True, num_mask_tokens=2,
+            use_activation_checkpointing=True, use_flash=True,
+            dtype=jnp.bfloat16,
+        )
+        coll = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
+        coll.step()
+        me, mp = coll(T, B)
+        log(f"mask lengths ctx={[m.shape[1] for m in me]} pred={[m.shape[1] for m in mp]}")
+        hp = PretrainHParams(ipe=100, epochs=10)
+        tx = make_optimizer(hp)
+        params, target = init_params(
+            encoder, predictor, 0, (B, T, S, S, 3),
+            jnp.asarray(me[0]), jnp.asarray(mp[0]),
+        )
+        state = TrainState.create(params, target, tx)
+        step = jax.jit(make_train_step(encoder, predictor, tx, hp), donate_argnums=(0,))
+        clips = jnp.asarray(np.random.RandomState(0).rand(B, T, S, S, 3), jnp.bfloat16)
+        me_j = tuple(jnp.asarray(m) for m in me)
+        mp_j = tuple(jnp.asarray(m) for m in mp)
+        t0 = time.perf_counter()
+        state, m = step(state, clips, me_j, mp_j)
+        loss0 = float(m["loss"])
+        log(f"bs{B}: compiled+step0 in {time.perf_counter()-t0:.1f}s loss={loss0:.4f}")
+        t0 = time.perf_counter()
+        n = 3
+        for i in range(n):
+            coll.step()
+            me2, mp2 = coll(T, B)
+            state, m = step(state, clips, tuple(map(jnp.asarray, me2)),
+                            tuple(map(jnp.asarray, mp2)))
+        float(m["loss"])
+        log(f"bs{B}: {(time.perf_counter()-t0)/n*1e3:.0f} ms/step")
+        del state, params, target, clips
+    except Exception as e:
+        log(f"bs{B}: FAILED {type(e).__name__}: {str(e)[:200]}")
+        break
+
+log("DONE")

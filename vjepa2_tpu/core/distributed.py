@@ -10,9 +10,61 @@ this is a no-op.
 from __future__ import annotations
 
 import os
-from typing import Optional
+import re
+from typing import Mapping, Optional
 
 import jax
+
+# the reference rendezvouses on a fixed port (`src/utils/distributed.py:17`)
+DEFAULT_COORDINATOR_PORT = 37129
+
+
+def first_slurm_host(nodelist: str) -> str:
+    """First hostname of a SLURM compressed nodelist.
+
+    Handles 'node001', 'node[001-004]', 'node[3,7-9]', 'a[1-2],b[5]' — the
+    formats `scontrol show hostnames` would expand (the reference instead
+    relies on MASTER_ADDR/HOSTNAME being pre-set by its launcher).
+    """
+    first = nodelist.split(",")[0]
+    m = re.match(r"^([^\[]+)\[([0-9]+)", first)
+    if m:
+        return m.group(1) + m.group(2)
+    return first.split("[")[0]
+
+
+def resolve_cluster(env: Mapping[str, str]) -> tuple[Optional[str], Optional[int], Optional[int]]:
+    """(coordinator_address, num_processes, process_id) from scheduler envs.
+
+    Priority: explicit JAX_* overrides > SLURM > Kubernetes/GKE JobSet >
+    none (single host or TPU-pod auto-detection). Pure function of ``env``
+    so multi-scheduler behavior is testable without a cluster (the same
+    trick the reference's sampler tests use for rank/world, SURVEY.md §4).
+    """
+    coord = env.get("JAX_COORDINATOR_ADDRESS")
+    num = int(env["JAX_NUM_PROCESSES"]) if env.get("JAX_NUM_PROCESSES") else None
+    pid = int(env["JAX_PROCESS_ID"]) if env.get("JAX_PROCESS_ID") else None
+    if coord or num is not None:
+        return coord, num, pid
+
+    # SLURM (reference reads SLURM_NTASKS/SLURM_PROCID,
+    # `src/utils/distributed.py:32-45`)
+    if env.get("SLURM_PROCID") is not None and env.get("SLURM_NTASKS"):
+        nodelist = env.get("SLURM_STEP_NODELIST") or env.get("SLURM_JOB_NODELIST", "")
+        coord = env.get("MASTER_ADDR") or (first_slurm_host(nodelist) if nodelist else None)
+        if coord and ":" not in coord:
+            coord = f"{coord}:{env.get('MASTER_PORT', DEFAULT_COORDINATOR_PORT)}"
+        return coord, int(env["SLURM_NTASKS"]), int(env["SLURM_PROCID"])
+
+    # Kubernetes / GKE JobSet (TPU multi-host GKE sets JOB_COMPLETION_INDEX
+    # per pod; the coordinator is pod 0 behind a headless service)
+    if env.get("JOB_COMPLETION_INDEX") is not None and env.get("NUM_PROCESSES"):
+        coord = env.get("COORDINATOR_ADDRESS")
+        if coord and ":" not in coord:
+            coord = f"{coord}:{env.get('COORDINATOR_PORT', DEFAULT_COORDINATOR_PORT)}"
+        return coord, int(env["NUM_PROCESSES"]), int(env["JOB_COMPLETION_INDEX"])
+
+    return None, None, None
 
 
 def init_distributed(
@@ -22,15 +74,12 @@ def init_distributed(
 ) -> tuple[int, int]:
     """Initialize multi-host JAX. Returns (process_index, process_count).
 
-    Arguments may come from the CLI or env (JAX_COORDINATOR_ADDRESS,
-    JAX_NUM_PROCESSES, JAX_PROCESS_ID); on TPU pods jax auto-detects and all
-    three may be None.
+    Arguments may come from the CLI, from scheduler envs (JAX_* overrides,
+    SLURM, GKE JobSet — see `resolve_cluster`), or on TPU pods from jax
+    auto-detection with all three None.
     """
-    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
-        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
-    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
-        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None and process_id is None:
+        coordinator_address, num_processes, process_id = resolve_cluster(os.environ)
 
     if coordinator_address is not None or num_processes is not None:
         jax.distributed.initialize(
