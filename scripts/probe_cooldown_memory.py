@@ -6,10 +6,16 @@ ViT-L 64f@256px = 8192 tokens. Runs the FULL pretrain train step (dual
 encoder fwd + predictor + backward + AdamW + EMA) at increasing batch
 sizes until OOM, printing step time and HBM per step.
 
-Run: timeout 580 python -c "import sys; sys.path.insert(0,'/root/repo'); exec(open('/root/repo/scripts/probe_cooldown_memory.py').read())"
+Run: timeout 580 python scripts/probe_cooldown_memory.py
+(sys.path insert, not PYTHONPATH — PYTHONPATH replaces the axon
+sitecustomize registration)
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -51,10 +51,10 @@ def sdpa(
     attn_mask: broadcastable boolean mask, True = attend. Accepts [N, N],
     [B, N, N] or [B, H, N, N].
 
-    use_flash: route through the Pallas kernel (forward-only — no VJP yet;
-    safe on stop-gradient / inference paths). Falls back when the shape/mask
-    isn't supported. implementation="library" selects
-    jax.nn.dot_product_attention instead of the fused manual path.
+    use_flash: route through the Pallas kernel (streaming forward + custom
+    flash VJP). Falls back when the shape/mask isn't supported.
+    implementation="library" selects jax.nn.dot_product_attention instead
+    of the fused manual path.
     """
     if use_flash and scale is None and attn_mask is None and not is_causal:
         from vjepa2_tpu.ops import flash_attention as fa
