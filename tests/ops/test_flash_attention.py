@@ -104,6 +104,35 @@ def test_flash_vjp():
         )
 
 
+def test_flash_vjp_headpack():
+    """block_h > 1 (several heads per grid cell) matches the reference
+    forward and backward — keeps the in-kernel head loop covered now that
+    the default is block_h=1."""
+    B, N, H, D = 2, 64, 4, 32
+    q, k, v = _qkv(B, N, H, D, seed=11)
+    w = jnp.asarray(np.random.RandomState(12).randn(B, N, H, D), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, block_q=32, block_k=32, block_h=2,
+                              interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v) * w)
+
+    out = flash_attention(q, k, v, block_q=32, block_k=32, block_h=2,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(sdpa(q, k, v)),
+                               atol=3e-5, rtol=2e-4)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_flash_vjp_rope_segments():
     """Backward with fused RoPE + frame-causal segments."""
     B, N, H, D = 1, 64, 2, 32

@@ -51,6 +51,16 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 1024  # v5e sweep at ViT-g encode shape: 1024x1024 fwd 4.65 ms
 DEFAULT_BLOCK_K = 1024  # (256x256: 12.6 ms; 512x512: 6.4 ms) — scripts/probe_flash_perf.py
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # 1/ln 2
+
+# The kernels are VPU-bound at V-JEPA shapes (per score element the MXU does
+# only 4*Dh/32768 ~ 0.008 cycles, while softmax costs ~10 VPU cycles), so the
+# scalar work per element is what matters: the QK scale is folded into one
+# matmul operand as ``scale * LOG2E`` and the softmax runs in base 2
+# (``exp2`` is the VPU-native transcendental; exp lowers to exp2 + a
+# per-element multiply). exp2(s2 - m2) == exp(s - m) exactly, with
+# s2 = s * LOG2E tracked everywhere inside the kernels; the emitted
+# logsumexp converts back to natural log at the block edge (per-row, cheap).
 
 
 def _rope_rotate(x, cos, sin):
@@ -99,10 +109,14 @@ def _fwd_kernel(
     segq_ref, segk_ref, q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, scale: float, block_q: int, block_k: int, causal: bool, use_rope: bool,
-    use_segments: bool,
+    *, scale: float, block_q: int, block_k: int, block_h: int, causal: bool,
+    use_rope: bool, use_segments: bool,
 ):
-    """Grid (B*H, nq, nk), k innermost. Scratch persists across the k loop."""
+    """Grid (B*H/bh, nq, nk), k innermost. Scratch persists across the k
+    loop. ``block_h`` heads are processed per cell (statically unrolled) —
+    at tiny head dims (predictor D=32) per-cell DMA/setup dominates the
+    compute, so sharing one cell (and one rope-table load) across heads
+    amortizes it."""
     kv_i = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -112,24 +126,7 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # keep matmul INPUTS in the storage dtype (bf16 on TPU: the MXU runs
-    # bf16 x bf16 -> fp32-accumulate at full rate; casting inputs to fp32
-    # would decompose to the ~8x slower fp32 path) — only accumulation and
-    # the softmax run in fp32
-    q = q_ref[0]  # [BLK_Q, D]
-    k = k_ref[0]  # [BLK_K, D]
-    if use_rope:
-        q = _rope_rotate(
-            q.astype(jnp.float32), qcos_ref[0], qsin_ref[0]
-        ).astype(q_ref.dtype)
-        k = _rope_rotate(
-            k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
-        ).astype(k_ref.dtype)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BLK_Q, BLK_K] fp32
-
+    mask = None
     if causal or use_segments:
         q_i = pl.program_id(1)
         if use_segments:
@@ -142,26 +139,50 @@ def _fwd_kernel(
                 jnp.int32, (block_q, block_k), 1
             )
             mask = rows >= cols
-        s = jnp.where(mask, s, NEG_INF)
 
-    m_prev = m_scr[...]  # [BLK_Q, 1] broadcast via lane-128 scratch
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BLK_Q, 1]
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # masked entries: exp(-inf) = 0
-    corr = jnp.exp(m_prev - m_new)
-    l_new = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[...] = m_new
-    l_scr[...] = l_new
+    for h in range(block_h):
+        # keep matmul INPUTS in the storage dtype (bf16 on TPU: the MXU runs
+        # bf16 x bf16 -> fp32-accumulate at full rate; casting inputs to fp32
+        # would decompose to the ~8x slower fp32 path) — only accumulation
+        # and the softmax run in fp32
+        q = q_ref[0, h]  # [BLK_Q, D]
+        k = k_ref[0, h]  # [BLK_K, D]
+        if use_rope:
+            q = _rope_rotate(q.astype(jnp.float32), qcos_ref[0], qsin_ref[0])
+            k = _rope_rotate(
+                k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
+            ).astype(k_ref.dtype)
+        else:
+            q = q.astype(jnp.float32)
+        # fold scale (and the base-2 conversion) into q: one [BLK_Q, D]
+        # multiply instead of a [BLK_Q, BLK_K] multiply on the scores
+        q = (q * (scale * LOG2E)).astype(q_ref.dtype)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLK_Q, BLK_K] fp32, base-2 scaled
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[h]  # [BLK_Q, 1] broadcast via lane-128 scratch
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BLK_Q, 1], base-2 scale
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)  # == exp(s_nat - m_nat); masked entries -> 0
+        corr = jnp.exp2(m_prev - m_new)
+        l_new = l_scr[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[h] = acc_scr[h] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[h] = m_new
+        l_scr[h] = l_new
 
     @pl.when(kv_i == nk - 1)
     def _finish():
         denom = jnp.where(l_scr[...] == 0.0, 1.0, l_scr[...])
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[...] + jnp.log(denom)  # [BLK_Q, 1]
+        # natural-log lse at the API edge: m_nat = m2 * ln 2
+        lse_ref[0] = m_scr[...] * (1.0 / LOG2E) + jnp.log(denom)  # [bh, BLK_Q, 1]
 
 
 def _zeros_like_table(q):
@@ -170,16 +191,17 @@ def _zeros_like_table(q):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "block_h", "interpret"),
 )
 def _flash_fwd_bhnd(
     q, k, v, seg, qcos, qsin, kcos, ksin,
     causal=False, scale=None, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-    interpret=False,
+    block_h=1, interpret=False,
 ):
     """q,k,v: [B, H, N, D] (+ optional seg [B, N], rope tables [B|1, 1, N, D]).
 
-    Returns (out [B, H, N, D], lse [B, H, N] fp32).
+    Returns (out [B, H, N, D], lse [B, H, N] fp32). ``block_h`` heads are
+    processed per grid cell (must divide H).
     """
     B, H, N, D = q.shape
     M = k.shape[2]
@@ -187,6 +209,8 @@ def _flash_fwd_bhnd(
     block_q = min(block_q, N)
     block_k = min(block_k, M)
     assert N % block_q == 0 and M % block_k == 0, (N, M, block_q, block_k)
+    assert H % block_h == 0, (H, block_h)
+    hb = H // block_h
     use_segments = seg is not None
     assert not use_segments or N == M, "segment ids assume self-attention (N == M)"
     use_rope = qcos is not None
@@ -196,81 +220,81 @@ def _flash_fwd_bhnd(
     # TPU tiling: the last two dims of a block must be (8k, 128k) or equal
     # the array dims. Segments ride as fp32 [B, N|M, 1] columns blocked like
     # q and k (no dynamic-offset row loads — see `_seg_mask`); lse is
-    # emitted as [BH, N, 1] with block (1, BLK_Q, 1) for the same reason.
+    # emitted as [B, H, N, 1] with block (1, bh, BLK_Q, 1) for the same
+    # reason.
     segf = seg.astype(jnp.float32)[:, :, None]
     if qcos is None:
         qcos = qsin = _zeros_like_table(q)
         kcos = ksin = _zeros_like_table(k)
     tb = qcos.shape[0]  # 1 (shared) or B (per-batch tables)
 
-    q3 = q.reshape(B * H, N, D)
-    grid = (B * H, N // block_q, M // block_k)
+    grid = (B * hb, N // block_q, M // block_k)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
-        causal=causal, use_rope=use_rope, use_segments=use_segments,
+        block_h=block_h, causal=causal, use_rope=use_rope,
+        use_segments=use_segments,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             # segment columns, once blocked by the q index and once by k
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j, H=H: (b // H, i, 0),
+            pl.BlockSpec((1, block_q, 1), lambda g, i, j, hb=hb: (g // hb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, 1), lambda b, i, j, H=H: (b // H, j, 0),
+            pl.BlockSpec((1, block_k, 1), lambda g, i, j, hb=hb: (g // hb, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, block_h, block_q, D),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_h, block_k, D),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_h, block_k, D),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, j, 0),
                          memory_space=pltpu.VMEM),
-            # rope tables [tb, N, D], indexed like q / k
+            # rope tables [tb, N, D] shared across the cell's heads
             pl.BlockSpec((1, block_q, D),
-                         lambda b, i, j, H=H, tb=tb: ((b // H) % tb, i, 0),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D),
-                         lambda b, i, j, H=H, tb=tb: ((b // H) % tb, i, 0),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D),
-                         lambda b, i, j, H=H, tb=tb: ((b // H) % tb, j, 0),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D),
-                         lambda b, i, j, H=H, tb=tb: ((b // H) % tb, j, 0),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, block_h, block_q, D),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, block_h, block_q, 1),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 1), jnp.float32),  # running denom
-            pltpu.VMEM((block_q, D), jnp.float32),  # output accumulator
+            pltpu.VMEM((block_h, block_q, 1), jnp.float32),  # running max
+            pltpu.VMEM((block_h, block_q, 1), jnp.float32),  # running denom
+            pltpu.VMEM((block_h, block_q, D), jnp.float32),  # output accumulator
         ],
         interpret=interpret,
-    )(
-        segf, segf,
-        q3,
-        k.reshape(B * H, M, D),
-        v.reshape(B * H, M, D),
-        qcos, qsin, kcos, ksin,
-    )
-    return out.reshape(B, H, N, D), lse.reshape(B, H, N)
+    )(segf, segf, q, k, v, qcos, qsin, kcos, ksin)
+    return out, lse.reshape(B, H, N)
 
 
 def _dq_kernel(
     segq_ref, segk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     dq_ref, dq_scr,
-    *, scale: float, block_q: int, block_k: int, causal: bool, use_rope: bool,
-    use_segments: bool,
+    *, scale: float, block_q: int, block_k: int, block_h: int, causal: bool,
+    use_rope: bool, use_segments: bool,
 ):
     kv_i = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -279,19 +303,7 @@ def _dq_kernel(
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    if use_rope:
-        qcos = qcos_ref[0]
-        qsin = qsin_ref[0]
-        q = _rope_rotate(q.astype(jnp.float32), qcos, qsin).astype(q_ref.dtype)
-        k = _rope_rotate(
-            k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
-        ).astype(k_ref.dtype)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    mask = None
     if causal or use_segments:
         q_i = pl.program_id(1)
         if use_segments:
@@ -300,21 +312,45 @@ def _dq_kernel(
             rows = q_i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = rows >= cols
-        s = jnp.where(mask, s, NEG_INF)
 
-    # fully-masked rows have lse == NEG_INF; exp(s - lse) would be exp(0) = 1
-    # for every masked entry, so zero those rows explicitly (ADVICE r2)
-    lse = lse_ref[0]  # [BLK_Q, 1]
-    p = jnp.where(lse > NEG_INF * 0.5, jnp.exp(s - lse), 0.0)  # [BLK_Q, BLK_K]
-    do = do_ref[0]
-    dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = (p * (dp - delta_ref[0]) * scale).astype(k.dtype)
-    dq_scr[...] += jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if use_rope:
+        qcos = qcos_ref[0]
+        qsin = qsin_ref[0]
+
+    for h in range(block_h):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        if use_rope:
+            q = _rope_rotate(q.astype(jnp.float32), qcos, qsin)
+            k = _rope_rotate(
+                k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
+            ).astype(k_ref.dtype)
+        else:
+            q = q.astype(jnp.float32)
+        # q feeds only the scores here (dq comes from ds @ k) — fold in the
+        # base-2 softmax scale like the forward
+        qs = (q * (scale * LOG2E)).astype(q_ref.dtype)
+
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # base-2 scaled
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+
+        # fully-masked rows have lse == NEG_INF; exp(s - lse) would be
+        # exp(0) = 1 for every masked entry, so zero those rows explicitly
+        # (ADVICE r2). lse arrives pre-scaled to base 2 (`_flash_bwd_bhnd`).
+        lse = lse_ref[0, h]  # [BLK_Q, 1], base-2 scale
+        p = jnp.where(lse > NEG_INF * 0.5, jnp.exp2(s - lse), 0.0)  # [BLK_Q, BLK_K]
+        do = do_ref[0, h]
+        dp = jax.lax.dot_general(
+            do, v_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta_ref[0, h]) * scale).astype(k.dtype)
+        dq_scr[h] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     @pl.when(kv_i == nk - 1)
     def _finish():
@@ -328,8 +364,8 @@ def _dkv_kernel(
     segq_ref, segk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, scale: float, block_q: int, block_k: int, causal: bool, use_rope: bool,
-    use_segments: bool,
+    *, scale: float, block_q: int, block_k: int, block_h: int, causal: bool,
+    use_rope: bool, use_segments: bool,
 ):
     q_i = pl.program_id(2)  # q innermost here
     nq = pl.num_programs(2)
@@ -339,20 +375,8 @@ def _dkv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    if use_rope:
-        kcos = kcos_ref[0]
-        ksin = ksin_ref[0]
-        q = _rope_rotate(
-            q.astype(jnp.float32), qcos_ref[0], qsin_ref[0]
-        ).astype(q_ref.dtype)
-        k = _rope_rotate(k.astype(jnp.float32), kcos, ksin).astype(k_ref.dtype)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BLK_Q, BLK_K]
     kv_i = pl.program_id(1)
+    mask = None
     if causal or use_segments:
         if use_segments:
             mask = _seg_mask(segq_ref, segk_ref, block_q, block_k)
@@ -360,23 +384,46 @@ def _dkv_kernel(
             rows = q_i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = rows >= cols
-        s = jnp.where(mask, s, NEG_INF)
 
-    lse = lse_ref[0]  # [BLK_Q, 1]
-    p = jnp.where(lse > NEG_INF * 0.5, jnp.exp(s - lse), 0.0)
-    do = do_ref[0]
-    dv_scr[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = (p * (dp - delta_ref[0]) * scale).astype(q.dtype)
-    dk_scr[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if use_rope:
+        kcos = kcos_ref[0]
+        ksin = ksin_ref[0]
+
+    for h in range(block_h):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        if use_rope:
+            q = _rope_rotate(
+                q.astype(jnp.float32), qcos_ref[0], qsin_ref[0]
+            ).astype(q_ref.dtype)
+            k = _rope_rotate(k.astype(jnp.float32), kcos, ksin)
+        else:
+            k = k.astype(jnp.float32)
+        # here dk comes from ds @ q, so q must stay unscaled — fold the
+        # base-2 softmax scale into k instead
+        ks = (k * (scale * LOG2E)).astype(k_ref.dtype)
+
+        s = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLK_Q, BLK_K], base-2 scaled
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+
+        lse = lse_ref[0, h]  # [BLK_Q, 1], base-2 scale (see `_flash_bwd_bhnd`)
+        p = jnp.where(lse > NEG_INF * 0.5, jnp.exp2(s - lse), 0.0)
+        do = do_ref[0, h]
+        dv_scr[h] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta_ref[0, h]) * scale).astype(q.dtype)
+        dk_scr[h] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     @pl.when(q_i == nq - 1)
     def _finish():
@@ -389,18 +436,20 @@ def _dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "block_h", "interpret"),
 )
 def _flash_bwd_bhnd(
     q, k, v, seg, qcos, qsin, kcos, ksin, out, lse, do,
     causal=False, scale=None, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-    interpret=False,
+    block_h=1, interpret=False,
 ):
     B, H, N, D = q.shape
     M = k.shape[2]
     scale = scale if scale is not None else 1.0 / (D**0.5)
     block_q = min(block_q, N)
     block_k = min(block_k, M)
+    assert H % block_h == 0, (H, block_h)
+    hb = H // block_h
     use_segments = seg is not None
     use_rope = qcos is not None
     if seg is None:
@@ -413,81 +462,102 @@ def _flash_bwd_bhnd(
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,N]
 
-    q3 = q.reshape(B * H, N, D)
-    k3 = k.reshape(B * H, M, D)
-    v3 = v.reshape(B * H, M, D)
-    do3 = do.reshape(B * H, N, D)
-    lse2 = lse.reshape(B * H, N, 1)
-    delta2 = delta.reshape(B * H, N, 1)
+    # kernels recompute p as exp2(s2 - lse2) with s2 base-2 scaled — convert
+    # the (natural-log) saved lse once here instead of per score element
+    lse2 = (lse * LOG2E)[..., None]  # [B, H, N, 1]
+    delta2 = delta[..., None]
 
-    # dq: grid (BH, nq, nk) — k innermost, dq accumulates in scratch
+    def spec_q(blk):
+        return pl.BlockSpec((1, block_h, blk, D),
+                            lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_k(blk):
+        return pl.BlockSpec((1, block_h, blk, D),
+                            lambda g, i, j, hb=hb: (g // hb, g % hb, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    # dq: grid (B*hb, nq, nk) — k innermost, dq accumulates in scratch
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, scale=scale, block_q=block_q, block_k=block_k,
-            causal=causal, use_rope=use_rope, use_segments=use_segments,
+            block_h=block_h, causal=causal, use_rope=use_rope,
+            use_segments=use_segments,
         ),
-        grid=(B * H, N // block_q, M // block_k),
+        grid=(B * hb, N // block_q, M // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j, H=H: (b // H, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, 1), lambda b, i, j, H=H: (b // H, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, i, j, H=H, tb=tb: ((b // H) % tb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, i, j, H=H, tb=tb: ((b // H) % tb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j, H=H, tb=tb: ((b // H) % tb, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j, H=H, tb=tb: ((b // H) % tb, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda g, i, j, hb=hb: (g // hb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1), lambda g, i, j, hb=hb: (g // hb, j, 0), memory_space=pltpu.VMEM),
+            spec_q(block_q),  # q
+            spec_k(block_k),  # k
+            spec_k(block_k),  # v
+            spec_q(block_q),  # do
+            pl.BlockSpec((1, block_h, block_q, 1),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0),
+                         memory_space=pltpu.VMEM),  # lse
+            pl.BlockSpec((1, block_h, block_q, 1),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0),
+                         memory_space=pltpu.VMEM),  # delta
+            pl.BlockSpec((1, block_q, D), lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        out_specs=spec_q(block_q),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_h, block_q, D), jnp.float32)],
         interpret=interpret,
-    )(segf, segf, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
+    )(segf, segf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
 
-    # dk/dv: grid (BH, nk, nq) — q innermost, dk/dv accumulate in scratch
+    # dk/dv: grid (B*hb, nk, nq) — q innermost, dk/dv accumulate in scratch
+    def spec_q2(blk):
+        return pl.BlockSpec((1, block_h, blk, D),
+                            lambda g, j, i, hb=hb: (g // hb, g % hb, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_k2(blk):
+        return pl.BlockSpec((1, block_h, blk, D),
+                            lambda g, j, i, hb=hb: (g // hb, g % hb, j, 0),
+                            memory_space=pltpu.VMEM)
+
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, scale=scale, block_q=block_q, block_k=block_k,
-            causal=causal, use_rope=use_rope, use_segments=use_segments,
+            block_h=block_h, causal=causal, use_rope=use_rope,
+            use_segments=use_segments,
         ),
-        grid=(B * H, M // block_k, N // block_q),
+        grid=(B * hb, M // block_k, N // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1), lambda b, j, i, H=H: (b // H, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, 1), lambda b, j, i, H=H: (b // H, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, j, i, H=H, tb=tb: ((b // H) % tb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, j, i, H=H, tb=tb: ((b // H) % tb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, j, i, H=H, tb=tb: ((b // H) % tb, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, j, i, H=H, tb=tb: ((b // H) % tb, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda g, j, i, hb=hb: (g // hb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1), lambda g, j, i, hb=hb: (g // hb, j, 0), memory_space=pltpu.VMEM),
+            spec_q2(block_q),  # q
+            spec_k2(block_k),  # k
+            spec_k2(block_k),  # v
+            spec_q2(block_q),  # do
+            pl.BlockSpec((1, block_h, block_q, 1),
+                         lambda g, j, i, hb=hb: (g // hb, g % hb, i, 0),
+                         memory_space=pltpu.VMEM),  # lse
+            pl.BlockSpec((1, block_h, block_q, 1),
+                         lambda g, j, i, hb=hb: (g // hb, g % hb, i, 0),
+                         memory_space=pltpu.VMEM),  # delta
+            pl.BlockSpec((1, block_q, D), lambda g, j, i, hb=hb, tb=tb: ((g // hb) % tb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda g, j, i, hb=hb, tb=tb: ((g // hb) % tb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda g, j, i, hb=hb, tb=tb: ((g // hb) % tb, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda g, j, i, hb=hb, tb=tb: ((g // hb) % tb, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[spec_k2(block_k), spec_k2(block_k)],
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, M, D), k.dtype),
-            jax.ShapeDtypeStruct((B * H, M, D), v.dtype),
+            jax.ShapeDtypeStruct((B, H, M, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, M, D), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, D), jnp.float32),
-            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_h, block_k, D), jnp.float32),
+            pltpu.VMEM((block_h, block_k, D), jnp.float32),
         ],
         interpret=interpret,
-    )(segf, segf, q3, k3, v3, do3, lse2, delta2, qcos, qsin, kcos, ksin)
+    )(segf, segf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
 
-    return (
-        dq.reshape(B, H, N, D),
-        dk.reshape(B, H, M, D),
-        dv.reshape(B, H, M, D),
-    )
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -496,35 +566,38 @@ def _flash_bwd_bhnd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15)
 )
 def _flash_attention_core(
     q, k, v, seg, qcos, qsin, kcos, ksin,
-    causal, scale, block_q, block_k, interpret,
+    causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, block_h,
+    interpret,
 ):
     out, _ = _flash_fwd_bhnd(
         q, k, v, seg, qcos, qsin, kcos, ksin,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k,
-        interpret=interpret,
+        block_h=block_h, interpret=interpret,
     )
     return out
 
 
-def _core_fwd(q, k, v, seg, qcos, qsin, kcos, ksin, causal, scale, block_q, block_k, interpret):
+def _core_fwd(q, k, v, seg, qcos, qsin, kcos, ksin, causal, scale, block_q,
+              block_k, bwd_block_q, bwd_block_k, block_h, interpret):
     out, lse = _flash_fwd_bhnd(
         q, k, v, seg, qcos, qsin, kcos, ksin,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k,
-        interpret=interpret,
+        block_h=block_h, interpret=interpret,
     )
     return out, (q, k, v, seg, qcos, qsin, kcos, ksin, out, lse)
 
 
-def _core_bwd(causal, scale, block_q, block_k, interpret, res, g):
+def _core_bwd(causal, scale, block_q, block_k, bwd_block_q, bwd_block_k,
+              block_h, interpret, res, g):
     q, k, v, seg, qcos, qsin, kcos, ksin, out, lse = res
     dq, dk, dv = _flash_bwd_bhnd(
         q, k, v, seg, qcos, qsin, kcos, ksin, out, lse, g,
-        causal=causal, scale=scale, block_q=block_q, block_k=block_k,
-        interpret=interpret,
+        causal=causal, scale=scale, block_q=bwd_block_q, block_k=bwd_block_k,
+        block_h=block_h, interpret=interpret,
     )
     def zeros(x):
         if x is None:
@@ -601,6 +674,9 @@ def flash_attention_bhnd(
     rope_tables=None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    bwd_block_q: int | None = None,
+    bwd_block_k: int | None = None,
+    block_h: int | None = None,
     interpret: bool = False,
 ):
     """Flash attention over [B, H, N, D] tensors. Differentiable.
@@ -609,6 +685,20 @@ def flash_attention_bhnd(
     (frame-causal). rope_tables: (cos, sin) in the model's interleaved-pair
     convention, shape [N, D] or [B, N, D]; applied to q and k inside the
     kernel (q/k must NOT be pre-rotated).
+
+    bwd_block_q/bwd_block_k: block sizes for the backward kernels
+    (default: the forward blocks — fastest by in-process A/B, see the
+    inline comment below). The backward keeps ~4 score-shaped fp32
+    intermediates live, so forward-sized blocks ride the 16 MB
+    scoped-VMEM cliff on v5e; pass smaller blocks here if a program
+    fails to compile with "Scoped allocation ... exceeded scoped vmem
+    limit".
+
+    block_h: heads per grid cell (must divide H; default: enough heads to
+    fill the 128-lane tile at tiny head dims, e.g. 4 for D=32) — at
+    predictor widths the per-cell DMA/setup dominates the tiny per-head
+    compute, so one cell serves several heads and shares its rope-table
+    load.
     """
     qcos = qsin = kcos = ksin = None
     if rope_tables is not None:
@@ -628,9 +718,35 @@ def flash_attention_bhnd(
         block_q = pick_block(n, block_q)
     if m % min(block_k, m) != 0:
         block_k = pick_block(m, block_k)
+    # Default backward blocks = forward blocks. In-process A/B on the full
+    # ViT-L pretrain step (scripts/probe_ab_bwdblocks.py): fwd-sized bwd
+    # 593.1 ms vs k-capped-512 618.2 ms — the big blocks ride the 16 MB
+    # scoped-VMEM cliff (16.07 MB measured in one standalone program, which
+    # DID fail to compile) but are 4% faster and compile in every shipped
+    # training program. The explicit kwargs below are the escape hatch for
+    # program shapes that do tip over the cliff.
+    if bwd_block_q is None:
+        bwd_block_q = min(block_q, n)
+    elif n % min(bwd_block_q, n) != 0:
+        bwd_block_q = pick_block(n, bwd_block_q)
+    if bwd_block_k is None:
+        bwd_block_k = min(block_k, m)
+    elif m % min(bwd_block_k, m) != 0:
+        bwd_block_k = pick_block(m, bwd_block_k)
+    H = q.shape[1]
+    if block_h is None:
+        # v5e sweep (scripts/probe_flash_headpack.py): packing heads per
+        # cell does NOT pay — the kernels are VPU-element-bound (softmax
+        # cycles per score dominate at any head dim), bh=2 times the same
+        # as bh=1, and bh>=4 blows the 16 MB scoped-VMEM budget because
+        # Mosaic keeps every unrolled head's score block live. Keep 1; the
+        # knob stays for sweeps on other topologies.
+        block_h = 1
+    assert H % block_h == 0, (H, block_h)
     out = _flash_attention_core(
         qp, kp, v, segment_ids, qcos, qsin, kcos, ksin,
-        causal, scale, block_q, block_k, interpret,
+        causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, block_h,
+        interpret,
     )
     return out
 
@@ -643,6 +759,9 @@ def flash_attention(
     rope_tables=None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    bwd_block_q: int | None = None,
+    bwd_block_k: int | None = None,
+    block_h: int | None = None,
     interpret: bool = False,
 ):
     """BNHD convenience wrapper: q, k, v [B, N, H, D] -> [B, N, H, D]."""
@@ -650,6 +769,7 @@ def flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
         segment_ids=segment_ids, causal=causal, scale=scale,
         rope_tables=rope_tables, block_q=block_q, block_k=block_k,
+        bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k, block_h=block_h,
         interpret=interpret,
     )
     return out.transpose(0, 2, 1, 3)
