@@ -104,6 +104,47 @@ def test_flash_vjp():
         )
 
 
+def test_flash_vjp_twopass():
+    """The separate dq / dkv backward kernels (used when the fused one-pass
+    backward's partial buffers would be too big) match XLA autodiff —
+    small test shapes dispatch to the fused path by default, so force the
+    two-pass path explicitly."""
+    from vjepa2_tpu.ops import flash_attention as fa
+
+    B, N, H, D = 1, 128, 2, 32
+    q, k, v = _qkv(B, N, H, D, seed=21)
+    seg = jnp.tile(jnp.repeat(jnp.arange(4, dtype=jnp.int32), 32)[None], (B, 1))
+    pos = jnp.arange(N)
+    cache = build_rope_cache(pos, D, h_patches=8, w_patches=8)
+    w = jnp.asarray(np.random.RandomState(22).randn(B, N, H, D), jnp.float32)
+    bool_mask = seg[:, None, :, None] >= seg[:, None, None, :]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, segment_ids=seg, rope_tables=cache,
+                              block_q=64, block_k=32, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        out = sdpa(apply_rope_cache(q, cache), apply_rope_cache(k, cache), v,
+                   attn_mask=bool_mask)
+        return jnp.sum(out * w)
+
+    old = fa._FUSED_BWD
+    fa._FUSED_BWD = False
+    jax.clear_caches()  # _flash_bwd_bhnd reads the flag at trace time
+    try:
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa._FUSED_BWD = old
+        jax.clear_caches()
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_flash_vjp_headpack():
     """block_h > 1 (several heads per grid cell) matches the reference
     forward and backward — keeps the in-kernel head loop covered now that

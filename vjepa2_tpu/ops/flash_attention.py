@@ -434,6 +434,101 @@ def _dkv_kernel(
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    segq_ref, segk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+    dq_ref, dkp_ref, dvp_ref, dq_scr,
+    *, scale: float, block_q: int, block_k: int, block_h: int, causal: bool,
+    use_rope: bool, use_segments: bool,
+):
+    """One-pass backward: s/p are recomputed ONCE per (i, j) block pair
+    instead of once in the dq pass and again in the dk/dv pass — the
+    kernels are VPU-bound, so this nearly halves the backward's softmax
+    work. dq accumulates in scratch over the (innermost) k loop as usual;
+    dk/dv contributions can't accumulate in scratch here (their blocks
+    recur across the OUTER q loop), so each (i, j) writes an fp32 partial
+    to HBM ([B, H, nq, M, D]) and XLA sums the nq slices afterwards. Only
+    dispatched when that partial buffer and the block footprint are small
+    (`_flash_bwd_bhnd`); the RoPE adjoint on dk moves to XLA after the sum.
+    """
+    kv_i = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    mask = None
+    if causal or use_segments:
+        q_i = pl.program_id(1)
+        if use_segments:
+            mask = _seg_mask(segq_ref, segk_ref, block_q, block_k)
+        else:
+            rows = q_i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = rows >= cols
+
+    if use_rope:
+        qcos = qcos_ref[0]
+        qsin = qsin_ref[0]
+
+    for h in range(block_h):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        if use_rope:
+            q = _rope_rotate(q.astype(jnp.float32), qcos, qsin)
+            k = _rope_rotate(
+                k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
+            ).astype(k_ref.dtype)
+        else:
+            q = q.astype(jnp.float32)
+        # both an unscaled q (for dk = ds^T q) and a scaled copy (scores)
+        qu = q.astype(q_ref.dtype)
+        qs = (q * (scale * LOG2E)).astype(q_ref.dtype)
+
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # base-2 scaled
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+
+        lse = lse_ref[0, h]  # [BLK_Q, 1], base-2 scale
+        p = jnp.where(lse > NEG_INF * 0.5, jnp.exp2(s - lse), 0.0)
+        do = do_ref[0, h]
+        dvp_ref[0, h, 0] = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta_ref[0, h]) * scale).astype(qu.dtype)
+        # dk partial w.r.t. the ROTATED k — the rope adjoint is applied in
+        # XLA after the partial sum
+        dkp_ref[0, h, 0] = jax.lax.dot_general(
+            ds, qu, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_scr[h] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_i == nk - 1)
+    def _finish():
+        dq_rot = dq_scr[...]
+        if use_rope:
+            dq_rot = _rope_rotate_t(dq_rot, qcos, qsin)
+        dq_ref[0] = dq_rot.astype(dq_ref.dtype)
+
+
+# one-pass backward dispatch gates: the fused kernel keeps ~4 score-shaped
+# fp32 buffers live (block product cap stays under the 16 MB scoped-VMEM
+# cliff) and materializes [B, H, nq, M, D] fp32 dk/dv partials in HBM
+_FUSED_BWD = True
+_FUSED_MAX_BLOCK_PRODUCT = 900_000
+_FUSED_MAX_PARTIAL_BYTES = 400_000_000
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "block_h", "interpret"),
@@ -476,6 +571,57 @@ def _flash_bwd_bhnd(
         return pl.BlockSpec((1, block_h, blk, D),
                             lambda g, i, j, hb=hb: (g // hb, g % hb, j, 0),
                             memory_space=pltpu.VMEM)
+
+    nq = N // block_q
+    partial_bytes = 2 * B * H * nq * M * D * 4
+    if (_FUSED_BWD
+            and block_q * block_k <= _FUSED_MAX_BLOCK_PRODUCT
+            and partial_bytes <= _FUSED_MAX_PARTIAL_BYTES):
+        common = [
+            pl.BlockSpec((1, block_q, 1), lambda g, i, j, hb=hb: (g // hb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1), lambda g, i, j, hb=hb: (g // hb, j, 0), memory_space=pltpu.VMEM),
+            spec_q(block_q),  # q
+            spec_k(block_k),  # k
+            spec_k(block_k),  # v
+            spec_q(block_q),  # do
+            pl.BlockSpec((1, block_h, block_q, 1),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0),
+                         memory_space=pltpu.VMEM),  # lse
+            pl.BlockSpec((1, block_h, block_q, 1),
+                         lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0),
+                         memory_space=pltpu.VMEM),  # delta
+            pl.BlockSpec((1, block_q, D), lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, j, 0), memory_space=pltpu.VMEM),
+        ]
+        partial_spec = pl.BlockSpec(
+            (1, block_h, 1, block_k, D),
+            lambda g, i, j, hb=hb: (g // hb, g % hb, i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dq, dkp, dvp = pl.pallas_call(
+            functools.partial(
+                _bwd_fused_kernel, scale=scale, block_q=block_q,
+                block_k=block_k, block_h=block_h, causal=causal,
+                use_rope=use_rope, use_segments=use_segments,
+            ),
+            grid=(B * hb, nq, M // block_k),
+            in_specs=common,
+            out_specs=[spec_q(block_q), partial_spec, partial_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+                jax.ShapeDtypeStruct((B, H, nq, M, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, nq, M, D), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_h, block_q, D), jnp.float32)],
+            interpret=interpret,
+        )(segf, segf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
+        dk = dkp.sum(axis=2)
+        dv = dvp.sum(axis=2).astype(v.dtype)
+        if use_rope:
+            dk = _rope_rotate_t(dk, kcos[:, None], ksin[:, None])
+        return dq, dk.astype(k.dtype), dv
 
     # dq: grid (B*hb, nq, nk) — k innermost, dq accumulates in scratch
     dq = pl.pallas_call(
