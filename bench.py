@@ -334,12 +334,14 @@ def bench_ac(args):
     B, T, S = args.batch, args.frames, args.size
     encoder = MODEL_REGISTRY[args.model](
         img_size=(S, S), num_frames=2, tubelet_size=2, use_rope=True,
-        use_flash=not args.no_flash, dtype=jnp.bfloat16
+        use_flash=not args.no_flash,
+        use_activation_checkpointing=args.remat, dtype=jnp.bfloat16
     )
     predictor = vit_ac_predictor(
         img_size=(S, S), patch_size=16, num_frames=2 * T, tubelet_size=2,
         embed_dim=encoder.embed_dim, predictor_embed_dim=1024, depth=24,
-        num_heads=16, use_flash=not args.no_flash, dtype=jnp.bfloat16,
+        num_heads=16, use_flash=not args.no_flash,
+        use_activation_checkpointing=args.remat, dtype=jnp.bfloat16,
     )
     hp = DroidHParams(total_steps=1000, warmup_steps=10, anneal_steps=100, auto_steps=2)
     params, enc_params, tpf = init_droid_params(encoder, predictor, 0, (B, T, S, S, 3))
@@ -421,15 +423,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="headline",
                     choices=["headline", "encode", "pretrain", "ac", "cem"])
-    ap.add_argument("--model", default="vit_giant")
+    ap.add_argument("--model", default=None)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--no-flash", action="store_true",
                     help="time the XLA attention path instead of the Pallas kernel")
     args = ap.parse_args()
+
+    # Mode-aware defaults. AC post-training trains encoder AND predictor
+    # (reference `app/vjepa_droid/train.py:274-276`): a vit_giant's AdamW
+    # state alone is ~17 GB — more than one v5e's HBM — so the single-chip
+    # AC bench defaults to ViT-L at the reference droid config's 8 frames
+    # (`configs/train/vitg16/droid-256px-8f.yaml`); the full-size model is
+    # a mesh job (`train/droid_loop.py` shards it).
+    if args.model is None:
+        args.model = "vit_large" if args.mode == "ac" else "vit_giant"
+    if args.frames is None:
+        args.frames = 8 if args.mode == "ac" else 16
+    if args.mode == "ac":
+        # teacher-forcing + AR-rollout backward without remat holds ~24
+        # predictor layers of [B, 2k, 1024] activations -> 20 GB at bs8
+        args.remat = True
 
     from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
 

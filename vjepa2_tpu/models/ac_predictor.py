@@ -88,7 +88,11 @@ class VisionTransformerPredictorAC(nn.Module):
         rope_cache = build_ac_rope_cache(
             P // self.num_heads, T, gh, gw, cond, gh
         ) if self.use_rope else None
-        block_cls = nn.remat(ACBlock) if self.use_activation_checkpointing else ACBlock
+        # T/gh/gw/cond drive Python control flow inside ACAttention (mask
+        # construction, conditioning-token splits) — keep them static under
+        # remat (indices count self as 0)
+        block_cls = (nn.remat(ACBlock, static_argnums=(2, 3, 4, 5))
+                     if self.use_activation_checkpointing else ACBlock)
         for i in range(self.depth):
             tokens = block_cls(
                 dim=P,
