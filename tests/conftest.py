@@ -22,4 +22,10 @@ os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# VJEPA2_TEST_TPU=1 keeps the attached TPU backend so the hardware-gated
+# tests (tests/ops/test_flash_tpu.py) actually run:
+#   VJEPA2_TEST_TPU=1 pytest tests/ops/test_flash_tpu.py
+# everything else expects the 8-virtual-device CPU mesh and should NOT be
+# run with the override.
+if not os.environ.get("VJEPA2_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")

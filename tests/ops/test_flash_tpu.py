@@ -1,0 +1,101 @@
+"""Hardware-gated flash attention tests (reference pattern: the CUDA-gated
+RoPE tests in `tests/models/test_vision_transformer.py:17-63` —
+`pytest.mark.skipif(not torch.cuda.is_available())`). These run ONLY when
+a real TPU backend is attached; on CPU CI they skip, and interpret-mode
+parity lives in `test_flash_attention.py`.
+
+Keep shapes small-but-legal (N multiple of 8, pays one ~20-40 s Mosaic
+compile on first run; the persistent cache makes reruns cheap).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _tpu_attached() -> bool:
+    try:
+        d = jax.devices()[0]
+        return d.platform == "tpu" or getattr(d, "device_kind", "").startswith("TPU")
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _tpu_attached(), reason="no TPU attached")
+
+
+def test_flash_matches_xla_on_device():
+    from vjepa2_tpu.ops.attention import attend
+    from vjepa2_tpu.ops.flash_attention import flash_attention
+    from vjepa2_tpu.ops.rope import build_rope_cache
+
+    B, N, H, D = 2, 512, 4, 64
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(B, N, H, D), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(B, N, H, D), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(B, N, H, D), jnp.bfloat16)
+    cache = build_rope_cache(jnp.arange(N, dtype=jnp.int32), D, 16, 16)
+    ref = attend(q, k, v, rope_cache=cache, use_flash=False).astype(jnp.float32)
+    got = flash_attention(q, k, v, rope_tables=cache, block_q=256, block_k=256
+                          ).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(got - ref))) < 0.05
+
+
+def test_flash_grad_on_device():
+    from vjepa2_tpu.ops.attention import attend
+    from vjepa2_tpu.ops.flash_attention import flash_attention
+
+    B, N, H, D = 1, 256, 2, 32
+    rs = np.random.RandomState(1)
+    q = jnp.asarray(rs.randn(B, N, H, D), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(B, N, H, D), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(B, N, H, D), jnp.bfloat16)
+
+    def loss_flash(qkv):
+        return flash_attention(*qkv, block_q=128, block_k=128
+                               ).astype(jnp.float32).sum()
+
+    def loss_ref(qkv):
+        return attend(*qkv, use_flash=False).astype(jnp.float32).sum()
+
+    g1 = jax.grad(loss_flash)((q, k, v))
+    g2 = jax.grad(loss_ref)((q, k, v))
+    for a, b, name in zip(g1, g2, "qkv"):
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        assert err < 0.25, (name, err)  # bf16 inputs; grads accumulate error
+
+
+def test_tiny_flash_train_step_runs():
+    """One masked-pretrain step with use_flash on the device — covers the
+    attend() padding dispatch and the custom VJP inside a real jit."""
+    from vjepa2_tpu.masks.multiblock3d import MaskCollator
+    from vjepa2_tpu.train.pretrain import (
+        PretrainHParams, build_models, init_params, make_optimizer,
+        make_train_step,
+    )
+    from vjepa2_tpu.train.state import TrainState
+
+    B, T, S = 1, 4, 64
+    encoder, predictor = build_models(
+        model_name="vit_tiny", crop_size=S, num_frames=T,
+        pred_depth=2, pred_embed_dim=64, pred_num_heads=2,
+        use_rope=True, num_mask_tokens=1, use_flash=True, dtype=jnp.bfloat16,
+    )
+    coll = MaskCollator(
+        [{"spatial_scale": (0.6, 0.6), "temporal_scale": (1.0, 1.0),
+          "aspect_ratio": (1.0, 1.0), "num_blocks": 1}],
+        dataset_fpcs=[T], crop_size=(S, S))
+    coll.step()
+    me, mp = coll(T, B)
+    hp = PretrainHParams(ipe=10, epochs=1)
+    tx = make_optimizer(hp)
+    params, target = init_params(
+        encoder, predictor, 0, (B, T, S, S, 3), jnp.asarray(me[0]), jnp.asarray(mp[0]))
+    state = TrainState.create(params, target, tx)
+    step = jax.jit(make_train_step(encoder, predictor, tx, hp), donate_argnums=(0,))
+    clips = jnp.asarray(np.random.RandomState(0).rand(B, T, S, S, 3), jnp.bfloat16)
+    state, m = step(state, clips, tuple(map(jnp.asarray, me)), tuple(map(jnp.asarray, mp)))
+    loss = float(m["loss"])
+    assert np.isfinite(loss) and loss > 0
