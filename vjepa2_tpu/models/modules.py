@@ -146,6 +146,65 @@ def _qkv(x, dim, num_heads, qkv_bias, dtype, init_std, name="qkv"):
     return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # each [B, N, H, Dh]
 
 
+class _QKVProjBHND(nn.Module):
+    """The qkv projection contracted straight into [B, H, N, Dh] operands.
+
+    Same parameter tree as the fused ``nn.Dense(3*dim)`` it replaces
+    (kernel [C, 3*dim], bias [3*dim] under this module's name) — only the
+    contraction order differs: three 'bnc,chd->bhnd' einsums produce the
+    layout the flash custom-call requires, so XLA's layout assignment can
+    put the transposition inside the dots instead of emitting per-layer
+    relayout copies (~0.3 ms each, device trace r3)."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        H = self.num_heads
+        Dh = self.dim // H
+        kernel = self.param("kernel", trunc_normal(self.init_std),
+                            (C, 3 * self.dim), jnp.float32)
+        w = kernel.reshape(C, 3, H, Dh).astype(self.dtype)
+        x = x.astype(self.dtype)
+        q = jnp.einsum("bnc,chd->bhnd", x, w[:, 0])
+        k = jnp.einsum("bnc,chd->bhnd", x, w[:, 1])
+        v = jnp.einsum("bnc,chd->bhnd", x, w[:, 2])
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (3 * self.dim,),
+                              jnp.float32)
+            b = bias.reshape(3, H, 1, Dh).astype(self.dtype)
+            q, k, v = q + b[0], k + b[1], v + b[2]
+        return q, k, v  # each [B, H, N, Dh]
+
+
+class _OutProjBHND(nn.Module):
+    """Out-projection consuming [B, H, N, Dh] directly ('bhnd,hdc->bnc').
+    Same parameter tree as ``nn.Dense(dim)`` (kernel [dim, dim], rows
+    (h-major, d) — exactly the order the BNHD reshape produced)."""
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    init_std: float = 0.02
+    proj_init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, out):
+        H = self.num_heads
+        Dh = self.dim // H
+        kernel = self.param(
+            "kernel", scaled_trunc_normal(self.init_std, self.proj_init_scale),
+            (self.dim, self.dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        w = kernel.reshape(H, Dh, self.dim).astype(self.dtype)
+        return jnp.einsum("bhnd,hdc->bnc", out.astype(self.dtype), w) + bias.astype(self.dtype)
+
+
 def _rope_rotate_qk(q, k, d_ids, h_ids, w_ids):
     """Rotate q and k [B, N, H, Dh] by factorized (d, h, w) float ids [B, N] or [N]."""
     head_dim = q.shape[-1]
@@ -196,8 +255,15 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None,
                  rope_cache=None):
+        from vjepa2_tpu.ops.attention import attend_bhnd
+
         B, N, C = x.shape
-        q, k, v = _qkv(x, self.dim, self.num_heads, self.qkv_bias, self.dtype, self.init_std)
+        # qkv contracted straight into BHND (the flash layout) and the
+        # output consumed as BHND — no relayout copies at the kernel edge
+        q, k, v = _QKVProjBHND(
+            dim=self.dim, num_heads=self.num_heads, use_bias=self.qkv_bias,
+            dtype=self.dtype, init_std=self.init_std, name="qkv",
+        )(x)
 
         if self.use_rope and rope_cache is None:
             assert pos_ids is not None and h_patches is not None and w_patches is not None
@@ -215,29 +281,29 @@ class Attention(nn.Module):
             and N % getattr(self.cp_attend, "axis_size", 1) == 0
         )
         if use_cp:
+            # ring attention shards the token dim of [B, N, H, D]
+            qn, kn, vn = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             if self.use_rope:
-                q = apply_rope_cache(q, rope_cache)
-                k = apply_rope_cache(k, rope_cache)
-            out = self.cp_attend(q, k, v)
+                qn = apply_rope_cache(qn, rope_cache)
+                kn = apply_rope_cache(kn, rope_cache)
+            out = self.cp_attend(qn, kn, vn).transpose(0, 2, 1, 3)
         elif attn_mask is None and not self.is_causal:
             # RoPE rides into the kernel when the flash path is enabled
-            out = attend(
+            out = attend_bhnd(
                 q, k, v,
                 rope_cache=rope_cache if self.use_rope else None,
                 use_flash=self.use_flash,
             )
         else:
+            qn, kn, vn = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             if self.use_rope:
-                q = apply_rope_cache(q, rope_cache)
-                k = apply_rope_cache(k, rope_cache)
-            out = sdpa(q, k, v, attn_mask=attn_mask, is_causal=self.is_causal)
-        out = out.reshape(B, N, C)
-        return nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=scaled_trunc_normal(self.init_std, self.proj_init_scale),
-            bias_init=nn.initializers.zeros,
+                qn = apply_rope_cache(qn, rope_cache)
+                kn = apply_rope_cache(kn, rope_cache)
+            out = sdpa(qn, kn, vn, attn_mask=attn_mask,
+                       is_causal=self.is_causal).transpose(0, 2, 1, 3)
+        return _OutProjBHND(
+            dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+            init_std=self.init_std, proj_init_scale=self.proj_init_scale,
             name="proj",
         )(out)
 

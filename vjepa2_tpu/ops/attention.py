@@ -150,3 +150,89 @@ def attend(
         seg_q = segment_ids if segment_ids.ndim > 1 else segment_ids[None]
         attn_mask = seg_q[:, None, :, None] >= seg_q[:, None, None, :]  # [B|1,1,N,N]
     return _manual_sdpa(q, k, v, attn_mask, False, None)
+
+
+def _apply_rope_cache_bhnd(x, cache):
+    """RoPE over [B, H, N, D] (cache [N, rot] or [B, N, rot])."""
+    from vjepa2_tpu.ops.rope import rotate_pairs
+
+    cos, sin = cache
+    if cos.ndim == 3:  # [B, N, rot] -> [B, 1, N, rot]
+        cos, sin = cos[:, None], sin[:, None]
+    rot = cos.shape[-1]
+    sub = x[..., :rot]
+    rotated = (sub * cos + rotate_pairs(sub) * sin).astype(x.dtype)
+    if rot < x.shape[-1]:
+        return jnp.concatenate([rotated, x[..., rot:]], axis=-1)
+    return rotated
+
+
+def attend_bhnd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rope_cache=None,
+    segment_ids: jnp.ndarray | None = None,
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    """`attend` for [B, H, N, D] operands, returning [B, H, N, D].
+
+    The flash custom-call wants exactly this layout — feeding it from a
+    'bnc,chd->bhnd' qkv einsum (and consuming the output with a
+    'bhnd,hdc->bnc' projection) removes the per-layer relayout copies the
+    BNHD wrapper pays (~0.3 ms/layer at ViT-L shapes, device-trace r3;
+    stack probe: -8% fwd / -11% grad, `scripts/probe_attn_layout.py`).
+    """
+    from vjepa2_tpu.ops import flash_attention as fa
+
+    B, H, n, d = q.shape
+    if use_flash:
+        pad = (-n) % 8
+        if pad or fa.pick_block(n, fa.DEFAULT_BLOCK_Q) < 512:
+            best = (pad, fa.pick_block(n + pad, fa.DEFAULT_BLOCK_Q))
+            for extra in range(pad, pad + 129, 8):
+                blk = fa.pick_block(n + extra, fa.DEFAULT_BLOCK_Q)
+                if blk > best[1]:
+                    best = (extra, blk)
+                if best[1] >= 512:
+                    break
+            pad = best[0]
+        n_pad = n + pad
+        if fa.supports(n_pad, d, segment_ids is not None or pad > 0, False) and (
+            pad == 0 or n >= MIN_FLASH_PAD_N
+        ):
+            seg = segment_ids
+            if seg is not None:
+                if seg.ndim == 1:
+                    seg = jnp.broadcast_to(seg[None], (B, n))
+                seg = seg.astype(jnp.int32)
+            rc = rope_cache
+            if pad:
+                zpad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                q, k, v = zpad(q), zpad(k), zpad(v)
+                if seg is None:
+                    seg = jnp.zeros((B, n), jnp.int32)
+                seg = jnp.pad(seg, ((0, 0), (0, pad)),
+                              constant_values=jnp.iinfo(jnp.int32).max)
+                if rc is not None:
+                    cos, sin = rc
+                    widths = ((0, pad), (0, 0)) if cos.ndim == 2 else (
+                        (0, 0), (0, pad), (0, 0))
+                    rc = (jnp.pad(cos, widths), jnp.pad(sin, widths))
+            out = fa.flash_attention_bhnd(q, k, v, segment_ids=seg, rope_tables=rc)
+            return out[:, :, :n] if pad else out
+    if rope_cache is not None:
+        q = _apply_rope_cache_bhnd(q, rope_cache)
+        k = _apply_rope_cache_bhnd(k, rope_cache)
+    scale = 1.0 / (d**0.5)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if segment_ids is not None:
+        seg_q = segment_ids if segment_ids.ndim > 1 else segment_ids[None]
+        mask = seg_q[:, None, :, None] >= seg_q[:, None, None, :]
+        s = jnp.where(mask, s, jnp.float32(-1e30))
+    m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
