@@ -361,10 +361,17 @@ class ACAttention(nn.Module):
     @nn.compact
     def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int,
                  rope_cache=None):
+        from vjepa2_tpu.ops.attention import attend_bhnd
+
         B, N, C = x.shape
         A, HW = cond_tokens, h_patches * w_patches
         assert N == T * (A + HW)
-        q, k, v = _qkv(x, self.dim, self.num_heads, self.qkv_bias, self.dtype, self.init_std)
+        # BHND contraction: same trick as `Attention` — no relayout copies
+        # at the flash custom-call boundary
+        q, k, v = _QKVProjBHND(
+            dim=self.dim, num_heads=self.num_heads, use_bias=self.qkv_bias,
+            dtype=self.dtype, init_std=self.init_std, name="qkv",
+        )(x)
 
         if rope_cache is None:
             rope_cache = build_ac_rope_cache(
@@ -376,16 +383,13 @@ class ACAttention(nn.Module):
         if self.is_frame_causal:
             segment_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), A + HW)  # [N]
 
-        out = attend(
+        out = attend_bhnd(
             q, k, v, rope_cache=rope_cache, segment_ids=segment_ids,
             use_flash=self.use_flash,
-        ).reshape(B, N, C)
-        return nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=scaled_trunc_normal(self.init_std, self.proj_init_scale),
-            bias_init=nn.initializers.zeros,
+        )
+        return _OutProjBHND(
+            dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+            init_std=self.init_std, proj_init_scale=self.proj_init_scale,
             name="proj",
         )(out)
 
