@@ -67,6 +67,24 @@ def test_flash_grad_on_device():
         assert err < 0.25, (name, err)  # bf16 inputs; grads accumulate error
 
 
+def test_fused_layernorm_on_device():
+    from vjepa2_tpu.ops.layernorm import layer_norm
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(8, 256, 1024), jnp.bfloat16)
+    g = jnp.asarray(rs.rand(1024) + 0.5, jnp.float32)
+    b = jnp.asarray(rs.randn(1024) * 0.1, jnp.float32)
+    got = layer_norm(x, g, b).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    xc = xf - mean
+    ref = (xc * jax.lax.rsqrt((xc * xc).mean(-1, keepdims=True) + 1e-6) * g + b)
+    err = float(jnp.max(jnp.abs(got - ref.astype(jnp.bfloat16).astype(jnp.float32))))
+    assert err < 0.05, err
+    # gradient path executes
+    jax.grad(lambda x: layer_norm(x, g, b).astype(jnp.float32).sum())(x)
+
+
 def test_tiny_flash_train_step_runs():
     """One masked-pretrain step with use_flash on the device — covers the
     attend() padding dispatch and the custom VJP inside a real jit."""

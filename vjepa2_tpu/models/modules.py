@@ -57,7 +57,13 @@ def scaled_trunc_normal(std: float, scale: float):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in fp32 regardless of compute dtype (eps 1e-6)."""
+    """LayerNorm computed in fp32 regardless of compute dtype (eps 1e-6).
+
+    Stays on the XLA formula deliberately: a fused pallas LayerNorm
+    (`ops/layernorm.py`) is ~2x faster in isolation but made the full
+    pretrain step ~6% SLOWER (537 -> 569 ms) — the opaque custom call
+    breaks the elementwise fusions (residual adds, converts) XLA builds
+    around the LN reduce, which outweigh the op's own cost."""
 
     epsilon: float = 1e-6
     dtype: Dtype = jnp.float32
