@@ -130,6 +130,10 @@ def render_jobset(cfg: dict, fname: str, run_dir: str) -> str:
         "metadata": {"name": name, "namespace": c["namespace"]},
         "spec": {
             "failurePolicy": {"maxRestarts": 100},  # preemption requeue
+            # guarantee the headless Service + pod DNS names exist regardless
+            # of the JobSet controller version's defaulting: the coordinator
+            # FQDN below must resolve for rendezvous
+            "network": {"enableDNSHostnames": True, "subdomain": name},
             "replicatedJobs": [{
                 "name": "workers",
                 "replicas": 1,

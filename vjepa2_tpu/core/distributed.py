@@ -44,7 +44,19 @@ def resolve_cluster(env: Mapping[str, str]) -> tuple[Optional[str], Optional[int
     coord = env.get("JAX_COORDINATOR_ADDRESS")
     num = int(env["JAX_NUM_PROCESSES"]) if env.get("JAX_NUM_PROCESSES") else None
     pid = int(env["JAX_PROCESS_ID"]) if env.get("JAX_PROCESS_ID") else None
-    if coord or num is not None:
+    if coord or num is not None or pid is not None:
+        # any JAX_* variable enters the override branch; a partial set is a
+        # config error, not something to silently fall through to SLURM/GKE
+        if num is not None and (coord is None or pid is None):
+            raise ValueError(
+                "Partial JAX_* cluster override: set JAX_COORDINATOR_ADDRESS, "
+                f"JAX_NUM_PROCESSES and JAX_PROCESS_ID together (got coord={coord!r}, "
+                f"num={num!r}, pid={pid!r})"
+            )
+        if pid is not None and num is None:
+            raise ValueError(
+                "JAX_PROCESS_ID set without JAX_NUM_PROCESSES/JAX_COORDINATOR_ADDRESS"
+            )
         return coord, num, pid
 
     # SLURM (reference reads SLURM_NTASKS/SLURM_PROCID,

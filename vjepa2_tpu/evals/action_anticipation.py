@@ -62,11 +62,10 @@ class ClassMeanRecall:
             masked[:, idx] = logits[:, idx]
             logits = masked
         preds = np.argsort(-logits, axis=1)[:, : self.k]
-        for p, gt in zip(preds, np.asarray(labels)):
-            if gt in p:
-                self.TP[gt] += 1
-            else:
-                self.FN[gt] += 1
+        labels = np.asarray(labels)
+        hits = (preds == labels[:, None]).any(axis=1)
+        np.add.at(self.TP, labels[hits], 1)
+        np.add.at(self.FN, labels[~hits], 1)
 
     def compute(self, eps: float = 1e-8) -> dict:
         TP, FN = self.TP, self.FN

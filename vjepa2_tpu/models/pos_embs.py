@@ -1,6 +1,9 @@
 """Sin-cos positional embeddings (host-side numpy, computed once at init).
 
-Numerically identical to reference `src/models/utils/pos_embs.py`.
+Numerically identical to reference `src/models/utils/pos_embs.py`. These are
+closed-form sincos constant-table formulas that must match bit-for-bit for
+checkpoint fidelity; the formulation follows the reference file, which is
+MIT-licensed Meta code (facebookresearch/vjepa2) — attribution noted here.
 """
 
 from __future__ import annotations

@@ -75,6 +75,61 @@ def sdpa(
 MIN_FLASH_PAD_N = 512  # below this the N^2 matrices are cheap; skip padding
 
 
+def _flash_pad_plan(n: int, d: int, has_seg: bool):
+    """Shared pad/dispatch decision for `attend`/`attend_bhnd`.
+
+    Padding amount is a free choice: more pad can buy a much better block
+    factorization (1623 -> 1624 only factors as 232-wide blocks and LOSES to
+    XLA; 1623 -> 1664 runs 832-wide blocks and wins by ~25%). Take the
+    smallest pad whose padded length admits a >=512 block, searching up to
+    +128 extra rows (<8% waste at these sizes). Returns (use_kernel, pad).
+    """
+    from vjepa2_tpu.ops import flash_attention as fa
+
+    pad = (-n) % 8
+    if pad or fa.pick_block(n, fa.DEFAULT_BLOCK_Q) < 512:
+        best = (pad, fa.pick_block(n + pad, fa.DEFAULT_BLOCK_Q))
+        for extra in range(pad, pad + 129, 8):
+            blk = fa.pick_block(n + extra, fa.DEFAULT_BLOCK_Q)
+            if blk > best[1]:
+                best = (extra, blk)
+            if best[1] >= 512:
+                break
+        pad = best[0]
+    use_kernel = fa.supports(n + pad, d, has_seg or pad > 0, False) and (
+        pad == 0 or n >= MIN_FLASH_PAD_N
+    )
+    return use_kernel, pad
+
+
+def _pad_flash_operands(q, k, v, segment_ids, rope_cache, pad: int, seq_axis: int):
+    """Pad q/k/v (along ``seq_axis``), segment ids and rope tables for the
+    kernel. Pad keys get segment int32-max so no real query attends to them;
+    callers slice the pad rows off the output."""
+    B = q.shape[0]
+    n = q.shape[seq_axis]
+    seg = segment_ids
+    if seg is not None:
+        if seg.ndim == 1:
+            seg = jnp.broadcast_to(seg[None], (B, n))
+        seg = seg.astype(jnp.int32)
+    rc = rope_cache
+    if pad:
+        widths = [(0, 0)] * q.ndim
+        widths[seq_axis] = (0, pad)
+        zpad = lambda x: jnp.pad(x, widths)
+        q, k, v = zpad(q), zpad(k), zpad(v)
+        if seg is None:
+            seg = jnp.zeros((B, n), jnp.int32)
+        seg = jnp.pad(seg, ((0, 0), (0, pad)),
+                      constant_values=jnp.iinfo(jnp.int32).max)
+        if rc is not None:
+            cos, sin = rc
+            w = ((0, pad), (0, 0)) if cos.ndim == 2 else ((0, 0), (0, pad), (0, 0))
+            rc = (jnp.pad(cos, w), jnp.pad(sin, w))
+    return q, k, v, seg, rc
+
+
 def attend(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -103,43 +158,11 @@ def attend(
     if use_flash:
         from vjepa2_tpu.ops import flash_attention as fa
 
-        # Padding amount is a free choice: more pad can buy a much better
-        # block factorization (1623 -> 1624 only factors as 232-wide blocks
-        # and LOSES to XLA; 1623 -> 1664 runs 832-wide blocks and wins by
-        # ~25%). Take the smallest pad whose padded length admits a >=512
-        # block, searching up to +128 extra rows (<8% waste at these sizes).
-        pad = (-n) % 8
-        if pad or fa.pick_block(n, fa.DEFAULT_BLOCK_Q) < 512:
-            best = (pad, fa.pick_block(n + pad, fa.DEFAULT_BLOCK_Q))
-            for extra in range(pad, pad + 129, 8):
-                blk = fa.pick_block(n + extra, fa.DEFAULT_BLOCK_Q)
-                if blk > best[1]:
-                    best = (extra, blk)
-                if best[1] >= 512:
-                    break
-            pad = best[0]
-        n_pad = n + pad
-        if fa.supports(n_pad, d, segment_ids is not None or pad > 0, False) and (
-            pad == 0 or n >= MIN_FLASH_PAD_N
-        ):
-            seg = segment_ids
-            if seg is not None:
-                if seg.ndim == 1:
-                    seg = jnp.broadcast_to(seg[None], (B, n))
-                seg = seg.astype(jnp.int32)
-            rc = rope_cache
-            if pad:
-                zpad = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-                q, k, v = zpad(q), zpad(k), zpad(v)
-                if seg is None:
-                    seg = jnp.zeros((B, n), jnp.int32)
-                seg = jnp.pad(seg, ((0, 0), (0, pad)),
-                              constant_values=jnp.iinfo(jnp.int32).max)
-                if rc is not None:
-                    cos, sin = rc
-                    widths = ((0, pad), (0, 0)) if cos.ndim == 2 else (
-                        (0, 0), (0, pad), (0, 0))
-                    rc = (jnp.pad(cos, widths), jnp.pad(sin, widths))
+        use_kernel, pad = _flash_pad_plan(n, d, segment_ids is not None)
+        if use_kernel:
+            q, k, v, seg, rc = _pad_flash_operands(
+                q, k, v, segment_ids, rope_cache, pad, seq_axis=1
+            )
             out = fa.flash_attention(q, k, v, segment_ids=seg, rope_tables=rc)
             return out[:, :n] if pad else out
     if rope_cache is not None:
@@ -187,38 +210,11 @@ def attend_bhnd(
 
     B, H, n, d = q.shape
     if use_flash:
-        pad = (-n) % 8
-        if pad or fa.pick_block(n, fa.DEFAULT_BLOCK_Q) < 512:
-            best = (pad, fa.pick_block(n + pad, fa.DEFAULT_BLOCK_Q))
-            for extra in range(pad, pad + 129, 8):
-                blk = fa.pick_block(n + extra, fa.DEFAULT_BLOCK_Q)
-                if blk > best[1]:
-                    best = (extra, blk)
-                if best[1] >= 512:
-                    break
-            pad = best[0]
-        n_pad = n + pad
-        if fa.supports(n_pad, d, segment_ids is not None or pad > 0, False) and (
-            pad == 0 or n >= MIN_FLASH_PAD_N
-        ):
-            seg = segment_ids
-            if seg is not None:
-                if seg.ndim == 1:
-                    seg = jnp.broadcast_to(seg[None], (B, n))
-                seg = seg.astype(jnp.int32)
-            rc = rope_cache
-            if pad:
-                zpad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
-                q, k, v = zpad(q), zpad(k), zpad(v)
-                if seg is None:
-                    seg = jnp.zeros((B, n), jnp.int32)
-                seg = jnp.pad(seg, ((0, 0), (0, pad)),
-                              constant_values=jnp.iinfo(jnp.int32).max)
-                if rc is not None:
-                    cos, sin = rc
-                    widths = ((0, pad), (0, 0)) if cos.ndim == 2 else (
-                        (0, 0), (0, pad), (0, 0))
-                    rc = (jnp.pad(cos, widths), jnp.pad(sin, widths))
+        use_kernel, pad = _flash_pad_plan(n, d, segment_ids is not None)
+        if use_kernel:
+            q, k, v, seg, rc = _pad_flash_operands(
+                q, k, v, segment_ids, rope_cache, pad, seq_axis=2
+            )
             out = fa.flash_attention_bhnd(q, k, v, segment_ids=seg, rope_tables=rc)
             return out[:, :, :n] if pad else out
     if rope_cache is not None:

@@ -921,13 +921,24 @@ def flash_attention(
     return out.transpose(0, 2, 1, 3)
 
 
+# Explicit override for `_mosaic_available` (tests / forced-interpret runs):
+# None = autodetect, True/False = forced. This is the supported knob; the
+# jax._src probe below reads a PRIVATE attribute (no public API exposes the
+# force_tpu_interpret_mode state as of jax 0.9) and a rename would only
+# silently disable interpret-mode dispatch, which tests guard via this flag.
+FORCE_MOSAIC_AVAILABLE: bool | None = None
+
+
 def _mosaic_available() -> bool:
     """True when Pallas TPU kernels can actually execute here: a real TPU
     backend, or CPU under ``pltpu.force_tpu_interpret_mode()`` (tests)."""
+    if FORCE_MOSAIC_AVAILABLE is not None:
+        return FORCE_MOSAIC_AVAILABLE
     try:
         from jax._src import config as _jcfg
 
-        if _jcfg.pallas_tpu_interpret_mode_context_manager.value is not None:
+        cm = getattr(_jcfg, "pallas_tpu_interpret_mode_context_manager", None)
+        if cm is not None and cm.value is not None:
             return True
     except Exception:
         pass
