@@ -37,7 +37,7 @@ import numpy as np
 
 PEAK_BF16_TFLOPS = {
     # per-chip dense bf16 peak
-    "TPU v5 lite": 394.0,  # v5e
+    "TPU v5 lite": 197.0,  # v5e (394 is the int8 TOPS figure, bf16 is 197)
     "TPU v5": 459.0,  # v5p
     "TPU v4": 275.0,
     "TPU v6 lite": 918.0,  # v6e / trillium

@@ -129,12 +129,16 @@ def run(q, k, v, block_q, block_k, variant):
     )(q, k, v)
 
 
-def bench(fn, *args, iters=20, **kw):
-    fn(*args, **kw).block_until_ready()
+def time_once(fn, q, *rest, iters=20, **kw):
+    """Tunnel-safe: chain output into next input, end with a value fetch
+    (the runtime memoizes identical dispatches; block_until_ready can
+    return early through the tunnel)."""
+    out = fn(q, *rest, **kw)
+    jax.device_get(out[0, 0, 0, :1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args, **kw)
-    out.block_until_ready()
+        out = fn(q + (out * 0).astype(q.dtype), *rest, **kw)
+    jax.device_get(out[0, 0, 0, :1])
     return (time.perf_counter() - t0) / iters * 1000
 
 
@@ -149,9 +153,14 @@ def main():
         q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, N, D),
                                      jnp.bfloat16) for i in range(3))
         print(f"== {name}  blocks {bq}x{bk}  cells {B*H*(N//bq)*(N//bk)}")
+        results = {v_: [] for v_ in variants}
+        for _ in range(3):  # interleaved rounds, min-of-rounds
+            for var in variants:
+                results[var].append(
+                    time_once(run, q, k, v, block_q=bq, block_k=bk, variant=var))
         for var in variants:
-            ms = bench(run, q, k, v, block_q=bq, block_k=bk, variant=var)
-            print(f"  {var:10s} {ms:7.2f} ms")
+            rounds = " ".join(f"{x:6.2f}" for x in results[var])
+            print(f"  {var:10s} min {min(results[var]):7.2f} ms  [{rounds}]")
 
 
 if __name__ == "__main__":

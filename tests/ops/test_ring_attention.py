@@ -54,3 +54,43 @@ def test_ring_gradients(mesh):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3, err_msg=f"d{name}"
         )
+
+
+def test_ring_pads_non_divisible(mesh):
+    """r3: sequences that don't divide the ring are padded ONTO it (not
+    silently replicated as local attention). N=60 on a 4-ring pads to 64."""
+    B, N, H, D = 2, 60, 2, 16
+    q, k, v = _qkv(B, N, H, D, seed=4)
+    ref = sdpa(q, k, v)
+    apply = seq_sharded_attention(mesh, "model")
+    out = jax.jit(apply)(q, k, v)
+    assert out.shape == (B, N, H, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    w = jnp.asarray(np.random.RandomState(5).randn(B, N, H, D), jnp.float32)
+    g_ring = jax.grad(lambda a: jnp.sum(apply(a, k, v) * w))(q)
+    g_ref = jax.grad(lambda a: jnp.sum(sdpa(a, k, v) * w))(q)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref), atol=1e-4, rtol=1e-3)
+
+
+def test_ring_flash_hops_interpret(mesh):
+    """r3: each hop runs the Pallas flash kernel when supported — verified in
+    interpret mode on the CPU mesh, fwd and bwd, vs the XLA reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, H, D = 2, 64, 2, 16
+    q, k, v = _qkv(B, N, H, D, seed=6)
+    seg = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 16)
+    mask = seg[None, None, :, None] >= seg[None, None, None, :]
+    ref = sdpa(q, k, v, attn_mask=mask)
+    apply = seq_sharded_attention(mesh, "model")
+    with pltpu.force_tpu_interpret_mode():
+        from vjepa2_tpu.ops.ring_attention import _hop_supported
+
+        assert _hop_supported(N // 4, D)  # kernel path engaged
+        out = jax.jit(lambda a, b, c: apply(a, b, c, seg))(q, k, v)
+        w = jnp.asarray(np.random.RandomState(7).randn(B, N, H, D), jnp.float32)
+        g_ring = jax.grad(lambda a: jnp.sum(apply(a, k, v, seg) * w))(q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    g_ref = jax.grad(lambda a: jnp.sum(sdpa(a, k, v, attn_mask=mask) * w))(q)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref), atol=1e-4, rtol=1e-3)

@@ -31,46 +31,120 @@ def make_online_eval(eval_cfg_paths, ipe: int = 20, epochs: int = 1, tag: str = 
         with open(path) as f:
             cfgs.append((path, yaml.safe_load(f)))
 
-    def online_eval(encoder, target_params, epoch) -> dict:
+    def _run_video(encoder, target_params, cfg) -> float:
         from vjepa2_tpu.cli.eval import (
             make_video_eval_loaders,
             probe_configs_from_multihead,
         )
         from vjepa2_tpu.evals.video_classification import VideoClassificationEval
 
+        exp = cfg["experiment"]
+        data_c = exp["data"]
+        opt_c = exp["optimization"]
+        cls_c = exp.get("classifier", {})
+        num_classes = int(data_c.get("num_classes", 174))
+        probes = probe_configs_from_multihead(
+            (opt_c.get("multihead_kwargs") or [{}])[:4], ipe
+        )
+        ev = VideoClassificationEval(
+            encoder=encoder,
+            enc_params=target_params,
+            num_classes=num_classes,
+            probe_configs=probes,
+            num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
+            probe_depth=1,  # shallow probe for the online signal
+            total_steps=epochs * ipe,
+        )
+        # online evals use the pretrain clip geometry (the encoder is
+        # built for it); dataset paths may be absent during pretraining,
+        # in which case class-dependent synthetic clips keep the signal
+        fpc = encoder.num_frames
+        res = encoder.img_size[0]
+        train_loader, val_loader = make_video_eval_loaders(
+            data_c, int(opt_c.get("batch_size", 2)), fpc, res, 1, num_classes, ipe
+        )
+        return ev.run(train_loader, val_loader, epochs=epochs)["top1"]
+
+    def _run_image(encoder, target_params, cfg) -> float:
+        """IN1K-style probe inline (reference schedules any eval YAML from the
+        pretrain config, `app/vjepa/utils.py:25-87` — this closes the r2 gap
+        where only the video family ran inline)."""
+        import numpy as np
+
+        from vjepa2_tpu.cli.eval import probe_configs_from_multihead
+        from vjepa2_tpu.evals.image_classification import ImageClassificationEval
+
+        exp = cfg["experiment"]
+        data_c = exp["data"]
+        opt_c = exp["optimization"]
+        cls_c = exp.get("classifier", {})
+        num_classes = int(data_c.get("num_classes", 1000))
+        batch_size = int(opt_c.get("batch_size", 4))
+        res = encoder.img_size[0]
+        # fake-frame replication must match the encoder's tubelet so the
+        # tokenizer accepts it; the pretrain encoder is built for video
+        nframes = max(2, encoder.tubelet_size)
+        probes = probe_configs_from_multihead(
+            (opt_c.get("multihead_kwargs") or [{}])[:4], ipe
+        )
+        ev = ImageClassificationEval(
+            encoder=encoder,
+            enc_params=target_params,
+            num_classes=num_classes,
+            probe_configs=probes,
+            num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
+            probe_depth=1,
+            total_steps=epochs * ipe,
+            img_as_video_nframes=nframes,
+        )
+        root = data_c.get("root")
+        if root:
+            import jax
+
+            from vjepa2_tpu.data.manager import init_image_data
+            from vjepa2_tpu.data.transforms import ImageTransform
+
+            _, train_loader, _ = init_image_data(
+                root, batch_size, transform=ImageTransform(crop_size=res, train=True),
+                train=True, world_size=jax.process_count(), rank=jax.process_index(),
+                ipe=ipe,
+            )
+            _, val_loader, _ = init_image_data(
+                data_c.get("root_val", root), batch_size,
+                transform=ImageTransform(crop_size=res, train=False), train=False,
+                world_size=jax.process_count(), rank=jax.process_index(),
+            )
+        else:
+            def synth(batches, seed):
+                r = np.random.default_rng(seed)
+                out = []
+                for _ in range(batches):
+                    labels = r.integers(0, num_classes, size=batch_size)
+                    imgs = r.normal(size=(batch_size, res, res, 3)).astype(np.float32) * 0.1
+                    imgs += labels[:, None, None, None] / num_classes
+                    out.append((imgs, labels))
+                return out
+
+            train_loader = synth(ipe, 0)
+            val_loader = synth(max(1, ipe // 4), 1)
+        return ev.run(train_loader, val_loader, epochs=epochs)["top1"]
+
+    RUNNERS = {
+        "video_classification_frozen": _run_video,
+        "image_classification_frozen": _run_image,
+    }
+
+    def online_eval(encoder, target_params, epoch) -> dict:
         results = {}
         for path, cfg in cfgs:
-            if cfg.get("eval_name", "video_classification_frozen") != "video_classification_frozen":
-                logger.info("online eval: skipping %s (only probe evals run inline)", path)
+            name = cfg.get("eval_name", "video_classification_frozen")
+            runner = RUNNERS.get(name)
+            if runner is None:
+                logger.info(
+                    "online eval: skipping %s (family %r has no inline runner; "
+                    "anticipation needs its EK100 shard stream)", path, name)
                 continue
-            exp = cfg["experiment"]
-            data_c = exp["data"]
-            opt_c = exp["optimization"]
-            cls_c = exp.get("classifier", {})
-            num_classes = int(data_c.get("num_classes", 174))
-            probes = probe_configs_from_multihead(
-                (opt_c.get("multihead_kwargs") or [{}])[:4], ipe
-            )
-            ev = VideoClassificationEval(
-                encoder=encoder,
-                enc_params=target_params,
-                num_classes=num_classes,
-                probe_configs=probes,
-                num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
-                probe_depth=1,  # shallow probe for the online signal
-                total_steps=epochs * ipe,
-            )
-            # online evals use the pretrain clip geometry (the encoder is
-            # built for it); dataset paths may be absent during pretraining,
-            # in which case class-dependent synthetic clips keep the signal
-            fpc = encoder.num_frames
-            res = encoder.img_size[0]
-            train_loader, val_loader = make_video_eval_loaders(
-                data_c, int(opt_c.get("batch_size", 2)), fpc, res, 1, num_classes, ipe
-            )
-            out = ev.run(train_loader, val_loader, epochs=epochs)
-            tag_i = cfg.get("tag", path)
-            results[tag_i] = out["top1"]
+            results[cfg.get("tag", path)] = runner(encoder, target_params, cfg)
         return results
 
     return online_eval

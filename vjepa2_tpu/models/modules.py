@@ -56,6 +56,12 @@ def scaled_trunc_normal(std: float, scale: float):
     return init
 
 
+# Diagnostic knob (scripts/probe_step_buckets.py): False runs LayerNorm in
+# the compute dtype to measure what the fp32 upcast+reduce costs at step
+# level. Production keeps True — the reference's autocast leaves LN in fp32.
+LN_UPCAST = True
+
+
 class LayerNorm(nn.Module):
     """LayerNorm computed in fp32 regardless of compute dtype (eps 1e-6).
 
@@ -70,8 +76,9 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32)
+        ln_dtype = jnp.float32 if LN_UPCAST else self.dtype
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=ln_dtype, param_dtype=jnp.float32)(
+            x.astype(ln_dtype)
         )
         return y.astype(self.dtype)
 

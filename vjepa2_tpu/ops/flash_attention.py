@@ -194,14 +194,16 @@ def _zeros_like_table(q):
     static_argnames=("causal", "scale", "block_q", "block_k", "block_h", "interpret"),
 )
 def _flash_fwd_bhnd(
-    q, k, v, seg, qcos, qsin, kcos, ksin,
+    q, k, v, seg, qcos, qsin, kcos, ksin, seg_kv=None,
     causal=False, scale=None, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
     block_h=1, interpret=False,
 ):
     """q,k,v: [B, H, N, D] (+ optional seg [B, N], rope tables [B|1, 1, N, D]).
 
     Returns (out [B, H, N, D], lse [B, H, N] fp32). ``block_h`` heads are
-    processed per grid cell (must divide H).
+    processed per grid cell (must divide H). ``seg_kv`` gives the KEY side
+    its own segment ids (ring-attention hops, where the kv shard was rotated
+    in from another device); defaults to ``seg`` (self-attention).
     """
     B, H, N, D = q.shape
     M = k.shape[2]
@@ -212,17 +214,21 @@ def _flash_fwd_bhnd(
     assert H % block_h == 0, (H, block_h)
     hb = H // block_h
     use_segments = seg is not None
-    assert not use_segments or N == M, "segment ids assume self-attention (N == M)"
+    assert not use_segments or seg_kv is not None or N == M, \
+        "a single segment array assumes self-attention (N == M); pass seg_kv"
     use_rope = qcos is not None
 
     if seg is None:
-        seg = jnp.zeros((B, M), jnp.int32)
+        seg = jnp.zeros((B, N), jnp.int32)
+    if seg_kv is None:
+        seg_kv = seg if N == M else jnp.zeros((B, M), jnp.int32)
     # TPU tiling: the last two dims of a block must be (8k, 128k) or equal
     # the array dims. Segments ride as fp32 [B, N|M, 1] columns blocked like
     # q and k (no dynamic-offset row loads — see `_seg_mask`); lse is
     # emitted as [B, H, N, 1] with block (1, bh, BLK_Q, 1) for the same
     # reason.
     segf = seg.astype(jnp.float32)[:, :, None]
+    segkf = seg_kv.astype(jnp.float32)[:, :, None]
     if qcos is None:
         qcos = qsin = _zeros_like_table(q)
         kcos = ksin = _zeros_like_table(k)
@@ -285,7 +291,7 @@ def _flash_fwd_bhnd(
             pltpu.VMEM((block_h, block_q, D), jnp.float32),  # output accumulator
         ],
         interpret=interpret,
-    )(segf, segf, q, k, v, qcos, qsin, kcos, ksin)
+    )(segf, segkf, q, k, v, qcos, qsin, kcos, ksin)
     return out, lse.reshape(B, H, N)
 
 
@@ -534,7 +540,7 @@ _FUSED_MAX_PARTIAL_BYTES = 400_000_000
     static_argnames=("causal", "scale", "block_q", "block_k", "block_h", "interpret"),
 )
 def _flash_bwd_bhnd(
-    q, k, v, seg, qcos, qsin, kcos, ksin, out, lse, do,
+    q, k, v, seg, qcos, qsin, kcos, ksin, out, lse, do, seg_kv=None,
     causal=False, scale=None, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
     block_h=1, interpret=False,
 ):
@@ -548,8 +554,11 @@ def _flash_bwd_bhnd(
     use_segments = seg is not None
     use_rope = qcos is not None
     if seg is None:
-        seg = jnp.zeros((B, M), jnp.int32)
+        seg = jnp.zeros((B, N), jnp.int32)
+    if seg_kv is None:
+        seg_kv = seg if N == M else jnp.zeros((B, M), jnp.int32)
     segf = seg.astype(jnp.float32)[:, :, None]  # fp32 columns (see fwd)
+    segkf = seg_kv.astype(jnp.float32)[:, :, None]
     if qcos is None:
         qcos = qsin = _zeros_like_table(q)
         kcos = ksin = _zeros_like_table(k)
@@ -616,7 +625,7 @@ def _flash_bwd_bhnd(
             ],
             scratch_shapes=[pltpu.VMEM((block_h, block_q, D), jnp.float32)],
             interpret=interpret,
-        )(segf, segf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
+        )(segf, segkf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
         dk = dkp.sum(axis=2)
         dv = dvp.sum(axis=2).astype(v.dtype)
         if use_rope:
@@ -653,7 +662,7 @@ def _flash_bwd_bhnd(
         out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_h, block_q, D), jnp.float32)],
         interpret=interpret,
-    )(segf, segf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
+    )(segf, segkf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
 
     # dk/dv: grid (B*hb, nk, nq) — q innermost, dk/dv accumulate in scratch
     def spec_q2(blk):
@@ -701,7 +710,7 @@ def _flash_bwd_bhnd(
             pltpu.VMEM((block_h, block_k, D), jnp.float32),
         ],
         interpret=interpret,
-    )(segf, segf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
+    )(segf, segkf, q, k, v, do, lse2, delta2, qcos, qsin, kcos, ksin)
 
     return dq, dk, dv
 
