@@ -75,7 +75,7 @@ def main():
         def rope_pre(qp, kp, v, cf, sf, bq=bq):
             return fa._flash_attention_core(
                 qp, kp, v, None, cf, sf, cf, sf,
-                False, None, bq, bq, bq, bq, 1, False,
+                False, None, bq, bq, bq, bq, 1, False, None,
             )
 
         def _rot_pairs(x):

@@ -38,7 +38,7 @@ def test_param_spec_rules():
     assert _spec("blocks_0/mlp/fc2/kernel", (256, 64)) == P("model", "fsdp")  # Mlp out
     assert _spec("blocks_0/mlp/fc2/kernel", (64, 256)) == P("fsdp", "model")  # SwiGLU value
     assert _spec("blocks_0/mlp/fc3/kernel", (256, 64)) == P("model", "fsdp")  # SwiGLU out
-    assert _spec("norm/LayerNorm_0/scale", (64,)) == P()
+    assert _spec("norm/scale", (64,)) == P()
     # conv kernel: largest-dim fsdp
     s = _spec("patch_embed/proj/kernel", (2, 16, 16, 3, 64))
     assert "model" not in jax.tree_util.tree_leaves(s)

@@ -50,9 +50,10 @@ def _convert_linear(tree, flax_path, sd, torch_key):
 
 
 def _convert_ln(tree, flax_path, sd, torch_key):
-    # our LayerNorm wrapper nests a flax nn.LayerNorm named "LayerNorm_0"
-    _set(tree, flax_path + ["LayerNorm_0", "scale"], _np(sd[torch_key + ".weight"]))
-    _set(tree, flax_path + ["LayerNorm_0", "bias"], _np(sd[torch_key + ".bias"]))
+    # our LayerNorm declares scale/bias in its own scope (flat — r3, so
+    # neighbors can fetch them for kernel fusion)
+    _set(tree, flax_path + ["scale"], _np(sd[torch_key + ".weight"]))
+    _set(tree, flax_path + ["bias"], _np(sd[torch_key + ".bias"]))
 
 
 def _convert_block(tree, blk_name, sd, prefix, use_silu: bool):
@@ -171,8 +172,8 @@ def _export_linear(sd, tree, flax_path, torch_key):
 
 
 def _export_ln(sd, tree, flax_path, torch_key):
-    sd[torch_key + ".weight"] = _get(tree, flax_path + ["LayerNorm_0", "scale"])
-    sd[torch_key + ".bias"] = _get(tree, flax_path + ["LayerNorm_0", "bias"])
+    sd[torch_key + ".weight"] = _get(tree, flax_path + ["scale"])
+    sd[torch_key + ".bias"] = _get(tree, flax_path + ["bias"])
 
 
 def _export_block(sd, tree, blk_name, prefix):

@@ -65,21 +65,35 @@ LN_UPCAST = True
 class LayerNorm(nn.Module):
     """LayerNorm computed in fp32 regardless of compute dtype (eps 1e-6).
 
-    Stays on the XLA formula deliberately: a fused pallas LayerNorm
-    (`ops/layernorm.py`) is ~2x faster in isolation but made the full
-    pretrain step ~6% SLOWER (537 -> 569 ms) — the opaque custom call
-    breaks the elementwise fusions (residual adds, converts) XLA builds
-    around the LN reduce, which outweigh the op's own cost."""
+    Params are declared directly ("scale"/"bias" under this module's own
+    scope) so callers can fetch them with ``return_params=True`` and fuse
+    the LN into a neighboring kernel (`ops/ln_qkv.py` — the pre-attention
+    LN + qkv projection prologue). The standalone compute path stays on the
+    XLA formula deliberately: a fused pallas LayerNorm (`ops/layernorm.py`)
+    is ~2x faster in isolation but made the full pretrain step ~6% SLOWER
+    (537 -> 569 ms) — the opaque custom call breaks the elementwise fusions
+    XLA builds around its own LN reduce."""
 
     epsilon: float = 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if return_params:
+            return scale, bias
         ln_dtype = jnp.float32 if LN_UPCAST else self.dtype
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=ln_dtype, param_dtype=jnp.float32)(
-            x.astype(ln_dtype)
+        xf = x.astype(ln_dtype)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        # fast-variance formulation, matching flax nn.LayerNorm defaults
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean),
+            0.0,
         )
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(ln_dtype) + bias.astype(ln_dtype)
         return y.astype(self.dtype)
 
 
@@ -264,10 +278,18 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
     proj_init_scale: float = 1.0
+    # static split-half head permutation matching the model-level
+    # pre-expanded rope tables; applied to q/k ACTIVATIONS per call (a fused
+    # elementwise gather — folding it into the qkv weights instead scattered
+    # through dW every step and cost +26 ms at ViT-L, r3 bisect)
+    head_perm: Optional[tuple] = None
+    # static count of REAL tokens when the model stack-padded the sequence
+    # (pad keys masked in-kernel; pad query rows sliced off by the model)
+    kv_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None,
-                 rope_cache=None):
+                 rope_cache=None, rope_expanded=None):
         from vjepa2_tpu.ops.attention import attend_bhnd
 
         B, N, C = x.shape
@@ -278,7 +300,7 @@ class Attention(nn.Module):
             dtype=self.dtype, init_std=self.init_std, name="qkv",
         )(x)
 
-        if self.use_rope and rope_cache is None:
+        if self.use_rope and rope_cache is None and rope_expanded is None:
             assert pos_ids is not None and h_patches is not None and w_patches is not None
             rope_cache = build_rope_cache(
                 pos_ids, self.dim // self.num_heads, h_patches, w_patches,
@@ -293,12 +315,26 @@ class Attention(nn.Module):
             # path so flash/RoPE fusion still applies to them
             and N % getattr(self.cp_attend, "axis_size", 1) == 0
         )
+        def _rotate_bnhd(t):
+            # BNHD rotation for the non-flash branches; honors whichever
+            # rope representation this forward carries
+            if rope_expanded is not None:
+                from vjepa2_tpu.ops import flash_attention as fa
+
+                cos, sin = rope_expanded  # [B|1, N, D] split-half
+                if self.head_perm is not None:
+                    t = t[..., list(self.head_perm)]
+                return fa._rope_rotate(
+                    t.astype(jnp.float32), cos[:, :, None], sin[:, :, None]
+                ).astype(t.dtype)
+            return apply_rope_cache(t, rope_cache)
+
         if use_cp:
             # ring attention shards the token dim of [B, N, H, D]
             qn, kn, vn = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             if self.use_rope:
-                qn = apply_rope_cache(qn, rope_cache)
-                kn = apply_rope_cache(kn, rope_cache)
+                qn = _rotate_bnhd(qn)
+                kn = _rotate_bnhd(kn)
             out = self.cp_attend(qn, kn, vn).transpose(0, 2, 1, 3)
         elif attn_mask is None and not self.is_causal:
             # RoPE rides into the kernel when the flash path is enabled
@@ -306,12 +342,15 @@ class Attention(nn.Module):
                 q, k, v,
                 rope_cache=rope_cache if self.use_rope else None,
                 use_flash=self.use_flash,
+                rope_expanded=rope_expanded if self.use_rope else None,
+                head_perm=self.head_perm if self.use_rope else None,
+                kv_valid=self.kv_valid,
             )
         else:
             qn, kn, vn = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             if self.use_rope:
-                qn = apply_rope_cache(qn, rope_cache)
-                kn = apply_rope_cache(kn, rope_cache)
+                qn = _rotate_bnhd(qn)
+                kn = _rotate_bnhd(kn)
             out = sdpa(qn, kn, vn, attn_mask=attn_mask,
                        is_causal=self.is_causal).transpose(0, 2, 1, 3)
         return _OutProjBHND(
@@ -436,11 +475,13 @@ class Block(nn.Module):
     layer_id: int = 0  # 0-based; residual rescale uses 1/sqrt(2*(layer_id+1))
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
+    head_perm: Optional[tuple] = None
+    kv_valid: Optional[int] = None
 
     @nn.compact
     def __call__(
         self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None, deterministic=True,
-        rope_cache=None,
+        rope_cache=None, rope_expanded=None,
     ):
         rescale = 1.0 / math.sqrt(2.0 * (self.layer_id + 1))
 
@@ -464,9 +505,11 @@ class Block(nn.Module):
             dtype=self.dtype,
             init_std=self.init_std,
             proj_init_scale=rescale,
+            head_perm=self.head_perm,
+            kv_valid=self.kv_valid,
             name="attn",
         )(y, pos_ids=pos_ids, attn_mask=attn_mask, h_patches=h_patches, w_patches=w_patches,
-          rope_cache=rope_cache)
+          rope_cache=rope_cache, rope_expanded=rope_expanded)
         x = x + maybe_drop(y)
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)

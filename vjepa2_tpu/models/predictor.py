@@ -133,13 +133,40 @@ class VisionTransformerPredictor(nn.Module):
             tokens = tokens[:, : -self.chop_last_n_tokens]
             positions_sorted = positions_sorted[:, : -self.chop_last_n_tokens]
 
+        n_seq = tokens.shape[1]
+        kv_valid = None
+        from vjepa2_tpu.models import vision_transformer as _vt
+
+        if _vt.STACK_PAD and self.use_flash and self.cp_attend is None:
+            # stack-level padding (see `vision_transformer.py`): pad the
+            # sorted ctx+target sequence once; every layer masks the static
+            # pad tail in-kernel instead of padding q/k/v per call
+            from vjepa2_tpu.ops.attention import _flash_pad_plan
+
+            use_kernel, pad = _flash_pad_plan(n_seq, P // self.num_heads, False)
+            if use_kernel and pad:
+                tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+                positions_sorted = jnp.pad(positions_sorted, ((0, 0), (0, pad)))
+                kv_valid = n_seq
+
         rope_cache = None
+        rope_expanded = head_perm = None
         if self.use_rope:
             from vjepa2_tpu.ops.rope import build_rope_cache
 
             rope_cache = build_rope_cache(
                 positions_sorted, P // self.num_heads, h_patches, w_patches
             )
+            if _vt.ROPE_HOIST and self.use_flash and self.cp_attend is None:
+                # pre-expanded split-half tables + qkv-weight-folded head
+                # permutation (see `vision_transformer.py` — same r3 hoist)
+                from vjepa2_tpu.ops import flash_attention as fa
+
+                rope_expanded, perm = fa.expand_rope_cache(
+                    rope_cache, P // self.num_heads
+                )
+                head_perm = tuple(int(i) for i in perm)
+                rope_cache = None
         block_cls = nn.remat(Block) if self.use_activation_checkpointing else Block
         for i in range(self.depth):
             tokens = block_cls(
@@ -155,9 +182,13 @@ class VisionTransformerPredictor(nn.Module):
                 layer_id=i,
                 dtype=self.dtype,
                 init_std=self.init_std,
+                head_perm=head_perm,
+                kv_valid=kv_valid,
                 name=f"predictor_blocks_{i}",
-            )(tokens, positions_sorted, None, h_patches, w_patches, True, rope_cache)
+            )(tokens, positions_sorted, None, h_patches, w_patches, True, rope_cache,
+              rope_expanded)
 
+        tokens = tokens[:, :n_seq]
         tokens = LayerNorm(dtype=self.dtype, name="predictor_norm")(tokens)
 
         if not self.return_all_tokens:

@@ -26,6 +26,13 @@ from vjepa2_tpu.models.pos_embs import get_2d_sincos_pos_embed, get_3d_sincos_po
 from vjepa2_tpu.ops.masking import apply_masks
 from vjepa2_tpu.ops.rope import build_rope_cache
 
+# Trace-time perf knobs (step-level A/B, scripts/probe_regress.py):
+# STACK_PAD pads the token stream ONCE and tail-masks pad keys in-kernel;
+# ROPE_HOIST pre-expands the flash rope tables once per forward. Both are
+# the shipped defaults; the flags exist so regressions bisect in minutes.
+STACK_PAD = True
+ROPE_HOIST = True
+
 
 class VisionTransformer(nn.Module):
     img_size: tuple[int, int] = (224, 224)
@@ -128,11 +135,32 @@ class VisionTransformer(nn.Module):
             tokens = tokens + pos[None].astype(self.dtype)
 
         pos_ids = None
+        kv_valid = None
         if masks is not None:
             tokens = apply_masks(tokens, masks)
             pos_ids = jnp.concatenate([m.astype(jnp.int32) for m in masks], axis=0)
         elif self.use_rope:
             pos_ids = jnp.arange(t_patches * h_patches * w_patches, dtype=jnp.int32)
+
+        n_real = tokens.shape[1]
+        if STACK_PAD and self.use_flash and self.cp_attend is None:
+            # STACK-LEVEL padding (r3): pad the token sequence once to a
+            # block-friendly length and run every layer with a static
+            # ``kv_valid`` tail mask, instead of padding/slicing q/k/v around
+            # every flash call (the per-layer pads+slices were ~40 ms/step of
+            # the ViT-L trace's copy bucket). Pad rows are sliced off at the
+            # end; their K columns are masked in-kernel, so outputs for real
+            # tokens are bit-identical.
+            from vjepa2_tpu.ops.attention import _flash_pad_plan
+
+            use_kernel, pad = _flash_pad_plan(n_real, self.embed_dim // self.num_heads,
+                                              False)
+            if use_kernel and pad:
+                tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+                if pos_ids is not None:
+                    widths = ((0, pad),) if pos_ids.ndim == 1 else ((0, 0), (0, pad))
+                    pos_ids = jnp.pad(pos_ids, widths)
+                kv_valid = n_real
 
         if not self.handle_nonsquare_inputs:
             h_patches = w_patches = self.img_size[0] // self.patch_size
@@ -144,11 +172,23 @@ class VisionTransformer(nn.Module):
             block_cls = nn.remat(Block)
 
         rope_cache = None
+        rope_expanded = head_perm = None
         if self.use_rope:
             # one fused cos/sin table shared by every layer
             rope_cache = build_rope_cache(
                 pos_ids, self.embed_dim // self.num_heads, h_patches, w_patches
             )
+            if ROPE_HOIST and self.use_flash and self.cp_attend is None:
+                # hoist the flash split-half expansion out of the per-layer
+                # calls; the head permutation folds into each layer's qkv
+                # weights (r3 trace: ~4 fusions/call, ~20 ms/step at ViT-L)
+                from vjepa2_tpu.ops import flash_attention as fa
+
+                rope_expanded, perm = fa.expand_rope_cache(
+                    rope_cache, self.embed_dim // self.num_heads
+                )
+                head_perm = tuple(int(i) for i in perm)
+                rope_cache = None
 
         norm = LayerNorm(dtype=self.dtype, name="norm")  # shared across taps
         outs = []
@@ -166,14 +206,17 @@ class VisionTransformer(nn.Module):
                 layer_id=i,
                 dtype=self.dtype,
                 init_std=self.init_std,
+                head_perm=head_perm,
+                kv_valid=kv_valid,
                 name=f"blocks_{i}",
-            )(tokens, pos_ids, None, h_patches, w_patches, True, rope_cache)
+            )(tokens, pos_ids, None, h_patches, w_patches, True, rope_cache,
+              rope_expanded)
             if self.out_layers is not None and i in self.out_layers:
-                outs.append(norm(tokens))
+                outs.append(norm(tokens[:, :n_real]))
 
         if self.out_layers is not None:
             return outs
-        return norm(tokens)
+        return norm(tokens[:, :n_real])
 
 
 def _factory(embed_dim, depth, num_heads, mlp_ratio, use_rope=False):

@@ -104,8 +104,13 @@ def _flash_pad_plan(n: int, d: int, has_seg: bool):
 
 def _pad_flash_operands(q, k, v, segment_ids, rope_cache, pad: int, seq_axis: int):
     """Pad q/k/v (along ``seq_axis``), segment ids and rope tables for the
-    kernel. Pad keys get segment int32-max so no real query attends to them;
-    callers slice the pad rows off the output."""
+    kernel; callers slice the pad rows off the output.
+
+    Pad-only calls (no real segment ids) return seg=None and rely on the
+    kernel's static ``kv_valid_len`` tail mask — masking work only in the
+    boundary kv block, and no fp32 segment side-inputs (r3: the segment
+    machinery cost +0.85 ms/call at the encoder shape). With real segment
+    ids, pad keys get int32-max so no real query attends to them."""
     B = q.shape[0]
     n = q.shape[seq_axis]
     seg = segment_ids
@@ -119,10 +124,9 @@ def _pad_flash_operands(q, k, v, segment_ids, rope_cache, pad: int, seq_axis: in
         widths[seq_axis] = (0, pad)
         zpad = lambda x: jnp.pad(x, widths)
         q, k, v = zpad(q), zpad(k), zpad(v)
-        if seg is None:
-            seg = jnp.zeros((B, n), jnp.int32)
-        seg = jnp.pad(seg, ((0, 0), (0, pad)),
-                      constant_values=jnp.iinfo(jnp.int32).max)
+        if seg is not None:
+            seg = jnp.pad(seg, ((0, 0), (0, pad)),
+                          constant_values=jnp.iinfo(jnp.int32).max)
         if rc is not None:
             cos, sin = rc
             w = ((0, pad), (0, 0)) if cos.ndim == 2 else ((0, 0), (0, pad), (0, 0))
@@ -163,7 +167,9 @@ def attend(
             q, k, v, seg, rc = _pad_flash_operands(
                 q, k, v, segment_ids, rope_cache, pad, seq_axis=1
             )
-            out = fa.flash_attention(q, k, v, segment_ids=seg, rope_tables=rc)
+            kv_valid = n if (pad and seg is None) else None
+            out = fa.flash_attention(q, k, v, segment_ids=seg, rope_tables=rc,
+                                     kv_valid_len=kv_valid)
             return out[:, :n] if pad else out
     if rope_cache is not None:
         q = apply_rope_cache(q, rope_cache)
@@ -197,6 +203,9 @@ def attend_bhnd(
     rope_cache=None,
     segment_ids: jnp.ndarray | None = None,
     use_flash: bool = False,
+    rope_expanded=None,
+    head_perm=None,
+    kv_valid: int | None = None,
 ) -> jnp.ndarray:
     """`attend` for [B, H, N, D] operands, returning [B, H, N, D].
 
@@ -205,19 +214,56 @@ def attend_bhnd(
     'bhnd,hdc->bnc' projection) removes the per-layer relayout copies the
     BNHD wrapper pays (~0.3 ms/layer at ViT-L shapes, device-trace r3;
     stack probe: -8% fwd / -11% grad, `scripts/probe_attn_layout.py`).
+
+    rope_expanded: pre-expanded split-half tables from
+    `flash_attention.expand_rope_cache`; ``head_perm`` is the matching
+    static head-dim permutation, applied here to the q/k ACTIVATIONS (a
+    permutation applied to both q and k leaves q·kᵀ invariant, so v and the
+    output stay canonical). Folding it into the qkv weights instead sends a
+    scatter through dW every step: +26 ms/step at ViT-L (r3 bisect,
+    `scripts/probe_regress.py`). The XLA fallback applies the same
+    split-half rotation, so both routes agree numerically.
     """
     from vjepa2_tpu.ops import flash_attention as fa
 
     B, H, n, d = q.shape
+    if rope_expanded is not None and head_perm is not None:
+        perm = list(head_perm)
+        q = q[..., perm]
+        k = k[..., perm]
     if use_flash:
-        use_kernel, pad = _flash_pad_plan(n, d, segment_ids is not None)
-        if use_kernel:
-            q, k, v, seg, rc = _pad_flash_operands(
-                q, k, v, segment_ids, rope_cache, pad, seq_axis=2
-            )
-            out = fa.flash_attention_bhnd(q, k, v, segment_ids=seg, rope_tables=rc)
-            return out[:, :, :n] if pad else out
-    if rope_cache is not None:
+        if kv_valid is not None:
+            # the model already stack-padded the sequence; no per-call pads
+            use_kernel = fa.supports(n, d, False, False)
+            if use_kernel:
+                if rope_expanded is not None:
+                    return fa.flash_attention_bhnd(
+                        q, k, v, rope_expanded=rope_expanded,
+                        kv_valid_len=kv_valid)
+                return fa.flash_attention_bhnd(
+                    q, k, v, rope_tables=rope_cache, kv_valid_len=kv_valid)
+        else:
+            use_kernel, pad = _flash_pad_plan(n, d, segment_ids is not None)
+            if use_kernel:
+                q, k, v, seg, rc = _pad_flash_operands(
+                    q, k, v, segment_ids, rope_expanded or rope_cache, pad,
+                    seq_axis=2
+                )
+                kvl = n if (pad and seg is None) else None
+                if rope_expanded is not None:
+                    out = fa.flash_attention_bhnd(q, k, v, segment_ids=seg,
+                                                  rope_expanded=rc,
+                                                  kv_valid_len=kvl)
+                else:
+                    out = fa.flash_attention_bhnd(q, k, v, segment_ids=seg,
+                                                  rope_tables=rc,
+                                                  kv_valid_len=kvl)
+                return out[:, :, :n] if pad else out
+    if rope_expanded is not None:
+        cos, sin = rope_expanded  # [B|1, N, D] split-half
+        q = fa._rope_rotate(q.astype(jnp.float32), cos[:, None], sin[:, None]).astype(q.dtype)
+        k = fa._rope_rotate(k.astype(jnp.float32), cos[:, None], sin[:, None]).astype(k.dtype)
+    elif rope_cache is not None:
         q = _apply_rope_cache_bhnd(q, rope_cache)
         k = _apply_rope_cache_bhnd(k, rope_cache)
     scale = 1.0 / (d**0.5)
@@ -227,6 +273,11 @@ def attend_bhnd(
         seg_q = segment_ids if segment_ids.ndim > 1 else segment_ids[None]
         mask = seg_q[:, None, :, None] >= seg_q[:, None, None, :]
         s = jnp.where(mask, s, jnp.float32(-1e30))
+    if kv_valid is not None and kv_valid < n:
+        # stack-level tail padding: exclude pad key columns (defensive — the
+        # kernel path normally handles this via kv_valid_len)
+        s = jnp.where(jnp.arange(n)[None, None, None, :] < kv_valid, s,
+                      jnp.float32(-1e30))
     m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m)
     p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)

@@ -48,8 +48,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 1024  # v5e sweep at ViT-g encode shape: 1024x1024 fwd 4.65 ms
-DEFAULT_BLOCK_K = 1024  # (256x256: 12.6 ms; 512x512: 6.4 ms) — scripts/probe_flash_perf.py
+DEFAULT_BLOCK_Q = 1024  # v5e sweeps: 1024-wide q blocks; larger fails scoped-VMEM
+DEFAULT_BLOCK_K = 2048  # full-N k block when it fits: k/v stream ONCE per (b,h)
+# (r3 tunnel-safe sweep at enc B8 H16 N2048 D64: bk2048 1.87 ms vs bk1024
+#  2.03 ms; bq2048 fails to compile. 256/512-wide blocks are 2-5x slower.)
+DEFAULT_BWD_BLOCK = 1024  # bwd keeps ~4 score-shaped fp32 buffers live: 16 MB cliff
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # 1/ln 2
 
@@ -105,12 +108,24 @@ def _seg_mask(segq_ref, segk_ref, block_q: int, block_k: int):
     return rows >= cols
 
 
+
+
+def _mask_pad_cols(s, kv_i, nk, block_q: int, block_k: int, kv_valid: int):
+    lim = kv_valid - (nk - 1) * block_k  # valid cols within the LAST block
+
+    def masked(sv):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        return jnp.where(cols < lim, sv, NEG_INF)
+
+    return jax.lax.cond(kv_i == nk - 1, masked, lambda sv: sv, s)
+
+
 def _fwd_kernel(
     segq_ref, segk_ref, q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale: float, block_q: int, block_k: int, block_h: int, causal: bool,
-    use_rope: bool, use_segments: bool,
+    use_rope: bool, use_segments: bool, kv_valid: int | None,
 ):
     """Grid (B*H/bh, nq, nk), k innermost. Scratch persists across the k
     loop. ``block_h`` heads are processed per cell (statically unrolled) —
@@ -163,6 +178,8 @@ def _fwd_kernel(
         )  # [BLK_Q, BLK_K] fp32, base-2 scaled
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
+        if kv_valid is not None:
+            s = _mask_pad_cols(s, kv_i, nk, block_q, block_k, kv_valid)
 
         m_prev = m_scr[h]  # [BLK_Q, 1] broadcast via lane-128 scratch
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BLK_Q, 1], base-2 scale
@@ -191,12 +208,13 @@ def _zeros_like_table(q):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "block_h", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "block_h",
+                     "interpret", "kv_valid"),
 )
 def _flash_fwd_bhnd(
     q, k, v, seg, qcos, qsin, kcos, ksin, seg_kv=None,
     causal=False, scale=None, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-    block_h=1, interpret=False,
+    block_h=1, interpret=False, kv_valid=None,
 ):
     """q,k,v: [B, H, N, D] (+ optional seg [B, N], rope tables [B|1, 1, N, D]).
 
@@ -236,10 +254,12 @@ def _flash_fwd_bhnd(
 
     grid = (B * hb, N // block_q, M // block_k)
 
+    if kv_valid is not None:
+        assert M - kv_valid < block_k, (M, kv_valid, block_k)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
         block_h=block_h, causal=causal, use_rope=use_rope,
-        use_segments=use_segments,
+        use_segments=use_segments, kv_valid=kv_valid,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -300,7 +320,7 @@ def _dq_kernel(
     qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     dq_ref, dq_scr,
     *, scale: float, block_q: int, block_k: int, block_h: int, causal: bool,
-    use_rope: bool, use_segments: bool,
+    use_rope: bool, use_segments: bool, kv_valid: int | None,
 ):
     kv_i = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -342,6 +362,8 @@ def _dq_kernel(
         )  # base-2 scaled
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
+        if kv_valid is not None:
+            s = _mask_pad_cols(s, kv_i, nk, block_q, block_k, kv_valid)
 
         # fully-masked rows have lse == NEG_INF; exp(s - lse) would be
         # exp(0) = 1 for every masked entry, so zero those rows explicitly
@@ -371,7 +393,7 @@ def _dkv_kernel(
     qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale: float, block_q: int, block_k: int, block_h: int, causal: bool,
-    use_rope: bool, use_segments: bool,
+    use_rope: bool, use_segments: bool, kv_valid: int | None,
 ):
     q_i = pl.program_id(2)  # q innermost here
     nq = pl.num_programs(2)
@@ -414,6 +436,9 @@ def _dkv_kernel(
         )  # [BLK_Q, BLK_K], base-2 scaled
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
+        if kv_valid is not None:
+            s = _mask_pad_cols(s, kv_i, pl.num_programs(1), block_q, block_k,
+                               kv_valid)
 
         lse = lse_ref[0, h]  # [BLK_Q, 1], base-2 scale (see `_flash_bwd_bhnd`)
         p = jnp.where(lse > NEG_INF * 0.5, jnp.exp2(s - lse), 0.0)
@@ -445,7 +470,7 @@ def _bwd_fused_kernel(
     qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     dq_ref, dkp_ref, dvp_ref, dq_scr,
     *, scale: float, block_q: int, block_k: int, block_h: int, causal: bool,
-    use_rope: bool, use_segments: bool,
+    use_rope: bool, use_segments: bool, kv_valid: int | None,
 ):
     """One-pass backward: s/p are recomputed ONCE per (i, j) block pair
     instead of once in the dq pass and again in the dk/dv pass — the
@@ -497,6 +522,8 @@ def _bwd_fused_kernel(
         )  # base-2 scaled
         if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
+        if kv_valid is not None:
+            s = _mask_pad_cols(s, kv_i, nk, block_q, block_k, kv_valid)
 
         lse = lse_ref[0, h]  # [BLK_Q, 1], base-2 scale
         p = jnp.where(lse > NEG_INF * 0.5, jnp.exp2(s - lse), 0.0)
@@ -537,12 +564,13 @@ _FUSED_MAX_PARTIAL_BYTES = 400_000_000
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "block_h", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "block_h",
+                     "interpret", "kv_valid"),
 )
 def _flash_bwd_bhnd(
     q, k, v, seg, qcos, qsin, kcos, ksin, out, lse, do, seg_kv=None,
     causal=False, scale=None, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-    block_h=1, interpret=False,
+    block_h=1, interpret=False, kv_valid=None,
 ):
     B, H, N, D = q.shape
     M = k.shape[2]
@@ -614,6 +642,7 @@ def _flash_bwd_bhnd(
                 _bwd_fused_kernel, scale=scale, block_q=block_q,
                 block_k=block_k, block_h=block_h, causal=causal,
                 use_rope=use_rope, use_segments=use_segments,
+                kv_valid=kv_valid,
             ),
             grid=(B * hb, nq, M // block_k),
             in_specs=common,
@@ -637,7 +666,7 @@ def _flash_bwd_bhnd(
         functools.partial(
             _dq_kernel, scale=scale, block_q=block_q, block_k=block_k,
             block_h=block_h, causal=causal, use_rope=use_rope,
-            use_segments=use_segments,
+            use_segments=use_segments, kv_valid=kv_valid,
         ),
         grid=(B * hb, N // block_q, M // block_k),
         in_specs=[
@@ -679,7 +708,7 @@ def _flash_bwd_bhnd(
         functools.partial(
             _dkv_kernel, scale=scale, block_q=block_q, block_k=block_k,
             block_h=block_h, causal=causal, use_rope=use_rope,
-            use_segments=use_segments,
+            use_segments=use_segments, kv_valid=kv_valid,
         ),
         grid=(B * hb, M // block_k, N // block_q),
         in_specs=[
@@ -721,38 +750,38 @@ def _flash_bwd_bhnd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15)
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16)
 )
 def _flash_attention_core(
     q, k, v, seg, qcos, qsin, kcos, ksin,
     causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, block_h,
-    interpret,
+    interpret, kv_valid,
 ):
     out, _ = _flash_fwd_bhnd(
         q, k, v, seg, qcos, qsin, kcos, ksin,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k,
-        block_h=block_h, interpret=interpret,
+        block_h=block_h, interpret=interpret, kv_valid=kv_valid,
     )
     return out
 
 
 def _core_fwd(q, k, v, seg, qcos, qsin, kcos, ksin, causal, scale, block_q,
-              block_k, bwd_block_q, bwd_block_k, block_h, interpret):
+              block_k, bwd_block_q, bwd_block_k, block_h, interpret, kv_valid):
     out, lse = _flash_fwd_bhnd(
         q, k, v, seg, qcos, qsin, kcos, ksin,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k,
-        block_h=block_h, interpret=interpret,
+        block_h=block_h, interpret=interpret, kv_valid=kv_valid,
     )
     return out, (q, k, v, seg, qcos, qsin, kcos, ksin, out, lse)
 
 
 def _core_bwd(causal, scale, block_q, block_k, bwd_block_q, bwd_block_k,
-              block_h, interpret, res, g):
+              block_h, interpret, kv_valid, res, g):
     q, k, v, seg, qcos, qsin, kcos, ksin, out, lse = res
     dq, dk, dv = _flash_bwd_bhnd(
         q, k, v, seg, qcos, qsin, kcos, ksin, out, lse, g,
         causal=causal, scale=scale, block_q=bwd_block_q, block_k=bwd_block_k,
-        block_h=block_h, interpret=interpret,
+        block_h=block_h, interpret=interpret, kv_valid=kv_valid,
     )
     def zeros(x):
         if x is None:
@@ -809,6 +838,23 @@ def expand_rope_tables(cos, sin, head_dim: int):
     return cos_full, sin_full, perm
 
 
+def expand_rope_cache(rope_cache, head_dim: int):
+    """Hoist the flash-rope prologue out of the per-layer call (r3 trace: the
+    per-call expand+permute showed up as ~4 `multiply_add_fusion`s per flash
+    call, ~20 ms/step at ViT-L).
+
+    (cos, sin) interleaved-convention [N, rot] or [B, N, rot] ->
+    ((cos_full, sin_full) split-half [B|1, N, D] fp32, perm) computed ONCE
+    per forward; every layer then passes ``rope_expanded`` and applies
+    ``perm`` inside its qkv projection weights instead of gathering q/k.
+    """
+    cos, sin = rope_cache
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    cos_full, sin_full, perm = expand_rope_tables(cos, sin, head_dim)
+    return (cos_full.astype(jnp.float32), sin_full.astype(jnp.float32)), perm
+
+
 def pick_block(n: int, target: int) -> int:
     """Largest divisor of ``n`` that is <= target and a multiple of 8
     (the f32 sublane tile), falling back to the largest divisor."""
@@ -827,19 +873,30 @@ def flash_attention_bhnd(
     causal: bool = False,
     scale: float | None = None,
     rope_tables=None,
+    rope_expanded=None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     bwd_block_q: int | None = None,
     bwd_block_k: int | None = None,
     block_h: int | None = None,
     interpret: bool = False,
+    kv_valid_len: int | None = None,
 ):
     """Flash attention over [B, H, N, D] tensors. Differentiable.
+
+    kv_valid_len: static count of REAL key/value columns when the caller
+    tail-padded the sequence — cheaper than segment ids (mask work only in
+    the boundary kv block; no fp32 segment side-inputs).
 
     segment_ids: [B, N] int32; token i attends to j iff seg[i] >= seg[j]
     (frame-causal). rope_tables: (cos, sin) in the model's interleaved-pair
     convention, shape [N, D] or [B, N, D]; applied to q and k inside the
     kernel (q/k must NOT be pre-rotated).
+
+    rope_expanded: (cos_full, sin_full) from `expand_rope_cache` — the
+    split-half [B|1, N, D] fp32 tables, with q/k ALREADY permuted (the
+    caller folded `perm` into its qkv projection). Skips the per-call
+    expand+permute prologue.
 
     bwd_block_q/bwd_block_k: block sizes for the backward kernels
     (default: the forward blocks — fastest by in-process A/B, see the
@@ -856,7 +913,11 @@ def flash_attention_bhnd(
     load.
     """
     qcos = qsin = kcos = ksin = None
-    if rope_tables is not None:
+    if rope_expanded is not None:
+        qcos = kcos = rope_expanded[0]  # [B|1, N, D] split-half, pre-expanded
+        qsin = ksin = rope_expanded[1]
+        qp, kp = q, k  # caller permuted q/k via its projection weights
+    elif rope_tables is not None:
         cos, sin = rope_tables  # [..., N, rot] interleaved convention
         if cos.ndim == 2:
             cos, sin = cos[None], sin[None]
@@ -873,19 +934,41 @@ def flash_attention_bhnd(
         block_q = pick_block(n, block_q)
     if m % min(block_k, m) != 0:
         block_k = pick_block(m, block_k)
-    # Default backward blocks = forward blocks. In-process A/B on the full
-    # ViT-L pretrain step (scripts/probe_ab_bwdblocks.py): fwd-sized bwd
-    # 593.1 ms vs k-capped-512 618.2 ms — the big blocks ride the 16 MB
-    # scoped-VMEM cliff (16.07 MB measured in one standalone program, which
-    # DID fail to compile) but are 4% faster and compile in every shipped
-    # training program. The explicit kwargs below are the escape hatch for
-    # program shapes that do tip over the cliff.
+    # Narrow heads (predictor D=32) tip the fwd scoped-VMEM cliff with
+    # full-width q blocks when k streams full-N (832x1664 measured 16.21 MB
+    # in the train program, 212 KB over). Halving block_q is timing-neutral
+    # there (416x1664: 1.458 ms vs 832x1664: 1.441 ms, r3 probe) and gives
+    # ~3 MB of headroom.
+    if q.shape[-1] < 64 and block_q * block_k > 416 * 1664:
+        block_q = pick_block(n, max(block_q // 2, 8))
+    # With rope tables riding into the kernel, full-N k blocks at encoder
+    # widths measured 20.4 MB in the train program (fit standalone — the
+    # scoped-VMEM stack depends on the surrounding program). Cap the score
+    # block at 1024^2 there; the full-N k win was ~8% and only holds
+    # rope-free.
+    if (rope_tables is not None or rope_expanded is not None) \
+            and q.shape[-1] >= 64 and block_q * block_k > 1024 * 1024:
+        block_k = pick_block(m, max(block_k // 2, 8))
+    # Default backward blocks: 1024-capped (NOT the forward blocks — the
+    # forward default streams full-N k blocks, which would put ~4
+    # score-shaped fp32 buffers over the 16 MB scoped-VMEM cliff in the
+    # backward). The explicit kwargs below are the escape hatch for program
+    # shapes that still tip over.
+    # r3 bwd sweeps (tunnel-safe, rope engaged): encoder-width heads are
+    # fastest at square 1024 blocks (5.19 ms vs 5.37 for 512x2048 at
+    # B8 H16 N2048 D64); narrow heads are fastest with a full-N k block and
+    # a narrow q block (pred B8 H12 N1664 D32: 416x1664 3.86 ms, 256x1664
+    # 4.29 ms vs 832x832 4.87 ms). 416-wide q blocks measured 16.01 MB
+    # against the 16.00 MB scoped-VMEM limit inside the train program, so
+    # the default targets 384 (-> 208/272 at predictor lengths) for margin.
+    d_head = q.shape[-1]
     if bwd_block_q is None:
-        bwd_block_q = min(block_q, n)
+        bwd_block_q = pick_block(n, DEFAULT_BWD_BLOCK if d_head >= 64 else 384)
     elif n % min(bwd_block_q, n) != 0:
         bwd_block_q = pick_block(n, bwd_block_q)
     if bwd_block_k is None:
-        bwd_block_k = min(block_k, m)
+        bwd_block_k = pick_block(
+            m, DEFAULT_BWD_BLOCK if d_head >= 64 else DEFAULT_BLOCK_K)
     elif m % min(bwd_block_k, m) != 0:
         bwd_block_k = pick_block(m, bwd_block_k)
     H = q.shape[1]
@@ -901,7 +984,7 @@ def flash_attention_bhnd(
     out = _flash_attention_core(
         qp, kp, v, segment_ids, qcos, qsin, kcos, ksin,
         causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, block_h,
-        interpret,
+        interpret, kv_valid_len,
     )
     return out
 
@@ -918,6 +1001,7 @@ def flash_attention(
     bwd_block_k: int | None = None,
     block_h: int | None = None,
     interpret: bool = False,
+    kv_valid_len: int | None = None,
 ):
     """BNHD convenience wrapper: q, k, v [B, N, H, D] -> [B, N, H, D]."""
     out = flash_attention_bhnd(
@@ -925,7 +1009,7 @@ def flash_attention(
         segment_ids=segment_ids, causal=causal, scale=scale,
         rope_tables=rope_tables, block_q=block_q, block_k=block_k,
         bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k, block_h=block_h,
-        interpret=interpret,
+        interpret=interpret, kv_valid_len=kv_valid_len,
     )
     return out.transpose(0, 2, 1, 3)
 
