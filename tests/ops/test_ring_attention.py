@@ -83,7 +83,9 @@ def test_ring_flash_hops_interpret(mesh):
     seg = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 16)
     mask = seg[None, None, :, None] >= seg[None, None, None, :]
     ref = sdpa(q, k, v, attn_mask=mask)
-    apply = seq_sharded_attention(mesh, "model")
+    # kernel hops are opt-in off-TPU (the default falls back to XLA so
+    # interpret mode doesn't crawl through whole-model rings)
+    apply = seq_sharded_attention(mesh, "model", use_kernel=True)
     with pltpu.force_tpu_interpret_mode():
         from vjepa2_tpu.ops.ring_attention import _hop_supported
 

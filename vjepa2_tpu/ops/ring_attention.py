@@ -41,6 +41,19 @@ def _hop_supported(n_loc: int, d: int) -> bool:
     return fa.supports(n_loc, d, True, False)
 
 
+def _default_use_kernel(n_loc: int, d: int) -> bool:
+    """Kernel hops engage by DEFAULT only on a real TPU backend: under
+    ``force_tpu_interpret_mode`` on CPU, `fa.supports` says yes (so explicit
+    ``use_kernel=True`` still works — `test_ring_flash_hops_interpret`), but
+    a whole model's ring in interpreted Pallas is ~1000x slower than the XLA
+    fallback, which hung the CP smoke test for 20+ min."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return on_tpu and _hop_supported(n_loc, d)
+
+
 def _hop_fwd(q, k, v, seg_q, seg_kv, scale, use_kernel):
     """One ring hop: local attention of q against a (possibly rotated) K/V
     block. q,k,v: [B, H, n, D]; segs: [B, n] int32 or None.
@@ -206,7 +219,7 @@ def ring_attention(
     B, n_loc, H, D = q.shape
     scale = scale if scale is not None else 1.0 / (D**0.5)
     if use_kernel is None:
-        use_kernel = _hop_supported(n_loc, D)
+        use_kernel = _default_use_kernel(n_loc, D)
     qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
     seg_q = None if segment_ids_q is None else segment_ids_q.astype(jnp.int32)
     seg_kv = None if segment_ids_kv is None else segment_ids_kv.astype(jnp.int32)
@@ -217,7 +230,8 @@ def ring_attention(
     return out.transpose(0, 2, 1, 3)
 
 
-def seq_sharded_attention(mesh, axis_name: str = "model"):
+def seq_sharded_attention(mesh, axis_name: str = "model",
+                          use_kernel: bool | None = None):
     """Build a shard_map-wrapped attention over ``axis_name``.
 
     Returns fn(q, k, v[, segment_ids]) on GLOBAL [B, N, H, D] arrays with the
@@ -242,7 +256,7 @@ def seq_sharded_attention(mesh, axis_name: str = "model"):
     def _sharded(q, k, v, seg):
         return ring_attention(
             q, k, v, axis_name, axis_size,
-            segment_ids_q=seg, segment_ids_kv=seg,
+            segment_ids_q=seg, segment_ids_kv=seg, use_kernel=use_kernel,
         )
 
     @functools.partial(
@@ -252,7 +266,8 @@ def seq_sharded_attention(mesh, axis_name: str = "model"):
         check_rep=False,
     )
     def _sharded_nomask(q, k, v):
-        return ring_attention(q, k, v, axis_name, axis_size)
+        return ring_attention(q, k, v, axis_name, axis_size,
+                              use_kernel=use_kernel)
 
     def apply(q, k, v, segment_ids=None):
         B, N = q.shape[0], q.shape[1]
