@@ -59,3 +59,85 @@ def test_video_transform_native_path():
     b = t_numpy(clip, rng=rng2)
     assert a.shape == b.shape == (8, 32, 32, 3)
     assert np.abs(a - b).mean() < 5e-2  # same crop box; interp differences only
+
+
+# -- native libav decoder (`native/video_decode.cpp`) ------------------------
+
+
+@pytest.fixture(scope="module")
+def sample_mp4(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("vids") / "clip.mp4")
+    clip = synthetic_clip(90, 120, 160, seed=7)
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (160, 120))
+    for f in clip:
+        w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    w.release()
+    return path
+
+
+decoder_skip = pytest.mark.skipif(
+    not native.decoder_available(), reason="libav decoder not built"
+)
+
+
+@decoder_skip
+def test_decoder_metadata(sample_mp4):
+    d = native.NativeVideoDecoder(sample_mp4)
+    assert d.num_frames == 90
+    assert abs(d.fps - 30.0) < 0.5
+    assert (d.height, d.width) == (120, 160)
+    d.close()
+
+
+@decoder_skip
+def test_decoder_matches_cv2_bit_exact(sample_mp4):
+    """Same libav code decodes underneath cv2, so frames must be identical."""
+    pytest.importorskip("cv2")
+    from vjepa2_tpu.data.video import VideoReader
+
+    idx = [0, 2, 2, 17, 44, 89]
+    a = VideoReader(sample_mp4, backend="native").get_batch(idx)
+    b = VideoReader(sample_mp4, backend="cv2").get_batch(idx)
+    np.testing.assert_array_equal(a, b)
+
+
+@decoder_skip
+def test_decoder_unsorted_and_reverse(sample_mp4):
+    d = native.NativeVideoDecoder(sample_mp4)
+    fwd = d.get_batch([5, 30, 60])
+    rev = d.get_batch([60, 30, 5])  # forces a rewind seek mid-stream
+    np.testing.assert_array_equal(fwd, rev[::-1])
+
+
+@decoder_skip
+def test_decoder_out_of_range_clamps(sample_mp4):
+    d = native.NativeVideoDecoder(sample_mp4)
+    out = d.get_batch([88, 89, 200, 500])
+    np.testing.assert_array_equal(out[2], out[1])
+    np.testing.assert_array_equal(out[3], out[1])
+
+
+@decoder_skip
+def test_decoder_is_default_backend(sample_mp4):
+    from vjepa2_tpu.data.video import VideoReader
+
+    vr = VideoReader(sample_mp4)
+    assert vr.backend == "native"
+    assert len(vr) == 90 and abs(vr.avg_fps - 30.0) < 0.5
+
+
+@decoder_skip
+def test_decoder_open_failure_raises():
+    from vjepa2_tpu.data.video import VideoReadError, VideoReader
+
+    with pytest.raises((RuntimeError, VideoReadError)):
+        native.NativeVideoDecoder("/tmp/definitely_missing_video.mp4")
+    import os
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+        f.write(b"not a video at all" * 10)
+        f.flush()
+        with pytest.raises(VideoReadError):
+            VideoReader(f.name, backend="native").get_batch([0])

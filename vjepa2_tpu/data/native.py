@@ -105,6 +105,124 @@ def crop_resize_normalize_clip(
     return out
 
 
+# -- native video decoder (`native/video_decode.cpp`, libav*) ---------------
+
+_VDLIB: Optional[ctypes.CDLL] = None
+_VDLIB_PATH = os.path.join(os.path.dirname(__file__), "_native", "libvideo_decode.so")
+_VD_FAILED = False
+
+
+def _load_vd() -> Optional[ctypes.CDLL]:
+    global _VDLIB, _VD_FAILED
+    if _VDLIB is not None or _VD_FAILED:
+        return _VDLIB
+    if not os.path.exists(_VDLIB_PATH):
+        _build_vd_if_possible()
+    if not os.path.exists(_VDLIB_PATH):
+        _VD_FAILED = True
+        return None
+    try:
+        lib = ctypes.CDLL(_VDLIB_PATH)
+    except OSError:  # libav runtime missing
+        _VD_FAILED = True
+        return None
+    lib.vd_open.restype = ctypes.c_void_p
+    lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.vd_close.argtypes = [ctypes.c_void_p]
+    lib.vd_num_frames.restype = ctypes.c_int64
+    lib.vd_num_frames.argtypes = [ctypes.c_void_p]
+    lib.vd_fps.restype = ctypes.c_double
+    lib.vd_fps.argtypes = [ctypes.c_void_p]
+    lib.vd_width.restype = ctypes.c_int
+    lib.vd_width.argtypes = [ctypes.c_void_p]
+    lib.vd_height.restype = ctypes.c_int
+    lib.vd_height.argtypes = [ctypes.c_void_p]
+    lib.vd_get_batch.restype = ctypes.c_int
+    lib.vd_get_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.vd_last_error.restype = ctypes.c_char_p
+    _VDLIB = lib
+    return lib
+
+
+def _build_vd_if_possible() -> None:
+    import shutil
+    import subprocess
+
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native", "video_decode.cpp",
+    )
+    if not os.path.exists(src) or shutil.which("g++") is None:
+        return
+    os.makedirs(os.path.dirname(_VDLIB_PATH), exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", src,
+             "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
+             "-o", _VDLIB_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pass
+
+
+def decoder_available() -> bool:
+    return _load_vd() is not None
+
+
+class NativeVideoDecoder:
+    """Random-access libav decoder; ``get_batch`` mirrors decord.
+
+    nthreads: libavcodec decode threads (0 = auto). Loader worker processes
+    already parallelize across clips, so a small count avoids
+    oversubscription.
+    """
+
+    def __init__(self, path: str, nthreads: int = 0):
+        lib = _load_vd()
+        if lib is None:
+            raise RuntimeError("native video decoder not built")
+        self._lib = lib
+        self._ctx = lib.vd_open(path.encode(), int(nthreads))
+        if not self._ctx:
+            raise RuntimeError(
+                f"vd_open failed: {lib.vd_last_error().decode(errors='replace')}"
+            )
+        self.path = path
+        self.width = lib.vd_width(self._ctx)
+        self.height = lib.vd_height(self._ctx)
+        self.fps = lib.vd_fps(self._ctx)
+        self.num_frames = int(lib.vd_num_frames(self._ctx))
+
+    def get_batch(self, indices) -> np.ndarray:
+        idx = np.ascontiguousarray(indices, np.int64)
+        n = int(idx.size)
+        out = np.empty((n, self.height, self.width, 3), np.uint8)
+        ret = self._lib.vd_get_batch(
+            self._ctx, _ptr(idx, ctypes.c_int64), n, _ptr(out, ctypes.c_uint8)
+        )
+        if ret != 0:
+            raise RuntimeError(
+                f"vd_get_batch failed ({ret}): "
+                f"{self._lib.vd_last_error().decode(errors='replace')}"
+            )
+        return out
+
+    def close(self):
+        if self._ctx:
+            self._lib.vd_close(self._ctx)
+            self._ctx = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def normalize_clip(clip: np.ndarray, mean: np.ndarray, std: np.ndarray, num_threads: int = 4) -> np.ndarray:
     lib = _load()
     assert lib is not None, "native lib not built (run native/build.sh)"

@@ -1,9 +1,11 @@
 """Video decoding backends (host-side, feeds the TPU input pipeline).
 
 The reference leans on decord's C++ decoder (`src/datasets/video_dataset.py:16`).
-Here decoding is pluggable: OpenCV's C++ VideoCapture (primary — ffmpeg under
-the hood), imageio-ffmpeg fallback, and a synthetic generator for tests and
-benchmarks. All return uint8 [T, H, W, 3] RGB for a list of frame indices.
+Here decoding is pluggable: the native libav decoder (primary —
+`native/video_decode.cpp`, keyframe-seek + frame-threaded decode + convert
+only wanted frames), OpenCV's VideoCapture, imageio fallback, and a synthetic
+generator for tests/benchmarks. All return uint8 [T, H, W, 3] RGB for a list
+of frame indices.
 """
 
 from __future__ import annotations
@@ -40,12 +42,33 @@ class VideoReader:
         if not os.path.exists(path):
             raise VideoReadError(f"video path not found: {path}")
         self.path = path
-        self.backend = backend or ("cv2" if _HAS_CV2 else "imageio" if _HAS_IIO else None)
+        if backend is None:
+            from vjepa2_tpu.data import native as _native
+
+            if _native.decoder_available():
+                backend = "native"
+            elif _HAS_CV2:
+                backend = "cv2"
+            elif _HAS_IIO:
+                backend = "imageio"
+        self.backend = backend
         if self.backend is None:
-            raise VideoReadError("no video decode backend available (cv2/imageio)")
+            raise VideoReadError("no video decode backend available (native/cv2/imageio)")
         self._len = None
         self._fps = None
-        if self.backend == "cv2":
+        self._native = None
+        if self.backend == "native":
+            from vjepa2_tpu.data import native as _native
+
+            try:
+                self._native = _native.NativeVideoDecoder(path)
+            except RuntimeError as e:
+                raise VideoReadError(str(e)) from e
+            self._len = self._native.num_frames
+            self._fps = self._native.fps or 30.0
+            if self._len <= 0:
+                raise VideoReadError(f"native decoder reports no frames for {path}")
+        elif self.backend == "cv2":
             cap = cv2.VideoCapture(path)
             if not cap.isOpened():
                 raise VideoReadError(f"cv2 failed to open {path}")
@@ -71,6 +94,11 @@ class VideoReader:
 
     def get_batch(self, indices: Sequence[int]) -> np.ndarray:
         indices = np.asarray(indices, dtype=np.int64)
+        if self.backend == "native":
+            try:
+                return self._native.get_batch(indices)
+            except RuntimeError as e:
+                raise VideoReadError(str(e)) from e
         if self.backend == "cv2":
             return self._get_batch_cv2(indices)
         return self._get_batch_iio(indices)
