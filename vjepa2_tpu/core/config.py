@@ -104,6 +104,11 @@ class OptimizationConfig:
     ema: tuple = (0.998, 1.0)
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-8
+    # reference within-step multi-fpc loss composition: average every
+    # (fpc-bucket x mask-config) pair inside ONE optimizer step
+    # (`app/vjepa/train.py:425-435`); off = one fpc bucket per step
+    # (alternating), the jit-friendly default
+    multifpc_within_step: bool = False
     # droid extras
     anneal: Optional[float] = None
     enc_lr_scale: float = 1.0

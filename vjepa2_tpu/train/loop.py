@@ -44,24 +44,54 @@ logger = get_logger(__name__)
 
 class SyntheticVideoLoader:
     """Deterministic synthetic clips — lets the full loop run without data
-    on disk (smoke tests, perf shakeout)."""
+    on disk (smoke tests, perf shakeout). With several fpcs it emits one
+    bucket per step, round-robin (matching the real loader's FpcBucketSampler)."""
 
-    def __init__(self, batch_size: int, fpc: int, crop_size: int, ipe: int, seed: int = 0):
+    def __init__(self, batch_size: int, fpc, crop_size: int, ipe: int, seed: int = 0):
         self.batch_size = batch_size
-        self.fpc = fpc
+        self.fpcs = list(fpc) if isinstance(fpc, (list, tuple)) else [fpc]
         self.crop_size = crop_size
         self.ipe = ipe
-        base = synthetic_clip(fpc, crop_size, crop_size, seed=seed).astype(np.float32) / 255.0
-        self._batch = np.stack([np.roll(base, s, axis=2) for s in range(batch_size)])
+        self._batches = {}
+        for f in self.fpcs:
+            base = synthetic_clip(f, crop_size, crop_size, seed=seed).astype(np.float32) / 255.0
+            self._batches[f] = np.stack(
+                [np.roll(base, s, axis=2) for s in range(batch_size)]
+            )
 
     def __iter__(self):
         for i in range(self.ipe):
-            yield [self._batch], np.zeros(self.batch_size, np.int64), [
-                np.tile(np.arange(self.fpc), (self.batch_size, 1))
+            f = self.fpcs[i % len(self.fpcs)]
+            yield [self._batches[f]], np.zeros(self.batch_size, np.int64), [
+                np.tile(np.arange(f), (self.batch_size, 1))
             ]
 
     def __len__(self):
         return self.ipe
+
+
+def group_fpc_batches(loader, fpcs, max_pending: int = 8):
+    """Group a one-bucket-per-batch stream into per-step groups with ONE
+    sub-batch of EVERY fpc (reference within-step multi-fpc composition,
+    `multiseq_multiblock3d.py:63-74`). Groups are ordered by sorted fpc.
+
+    ``max_pending`` bounds the per-fpc backlog when sampling weights are
+    uneven: beyond it the OLDEST pending batch of that fpc is dropped (the
+    reference instead gets variable per-fpc sub-batch sizes each step, which
+    is shape-dynamic and jit-hostile).
+    """
+    from collections import deque
+
+    fpcs = sorted(fpcs)
+    pending = {f: deque() for f in fpcs}
+    for batch in loader:
+        f = int(np.asarray(batch[0][0]).shape[1])
+        q = pending[f]
+        q.append(batch)
+        if len(q) > max_pending:
+            q.popleft()
+        if all(pending[x] for x in fpcs):
+            yield [pending[x].popleft() for x in fpcs]
 
 
 @dataclass
@@ -157,7 +187,7 @@ class Pretrainer:
         c = self.cfg
         if self.synthetic_data or not c.data.datasets:
             return SyntheticVideoLoader(
-                c.data.batch_size, max(self.fpcs), c.data.crop_size, self.hp.ipe, c.meta.seed
+                c.data.batch_size, self.fpcs, c.data.crop_size, self.hp.ipe, c.meta.seed
             )
         aug = c.data_aug
         transform = VideoTransform(
@@ -233,6 +263,26 @@ class Pretrainer:
             )
         return self._step_fns[fpc]
 
+    @property
+    def multifpc(self) -> bool:
+        return (
+            len(self.fpcs) > 1
+            and bool(self.cfg.optimization.multifpc_within_step)
+        )
+
+    def _multifpc_step_fn(self):
+        if "multifpc" not in self._step_fns:
+            from vjepa2_tpu.train.pretrain import make_multifpc_train_step
+
+            self._step_fns["multifpc"] = jit_train_step(
+                make_multifpc_train_step(
+                    self.encoder, self.predictor, self.tx, self.hp,
+                    len(self.cfg.mask),
+                ),
+                self.mesh,
+            )
+        return self._step_fns["multifpc"]
+
     # -- loop ---------------------------------------------------------------
     def run(self, epochs: Optional[int] = None, log_every: int = 10,
             preemption_guard=None) -> dict:
@@ -284,7 +334,27 @@ class Pretrainer:
                 me, mp = self.collator(fpc, clips.shape[0])
                 return clips, tuple(me), tuple(mp)
 
+            def stage_group(group):
+                # within-step multi-fpc: one collator.step() per TRAIN step
+                # (reference calls it once per iteration,
+                # `app/vjepa/train.py:314`), then per-bucket mask sampling
+                self.collator.step()
+                out_c, out_me, out_mp = [], [], []
+                for batch in group:
+                    clips = np.asarray(batch[0][0], _np_dtype)
+                    me, mp = self.collator(clips.shape[1], clips.shape[0])
+                    out_c.append(clips)
+                    out_me.append(tuple(me))
+                    out_mp.append(tuple(mp))
+                return tuple(out_c), tuple(out_me), tuple(out_mp)
+
             _np_dtype = np.float32 if self.dtype == jnp.float32 else jnp.bfloat16
+            if self.multifpc:
+                # group BEFORE the resume skip: one group == one train step
+                loader = group_fpc_batches(loader, self.fpcs)
+                transform = stage_group
+            else:
+                transform = stage
             start_itr = 0
             if epoch == start_epoch and skip_itrs:
                 # consume already-trained batches without touching the mask
@@ -294,10 +364,12 @@ class Pretrainer:
                 loader = itertools.islice(iter(loader), skip_itrs, None)
                 start_itr = skip_itrs
             for itr, (clips, masks_enc, masks_pred) in enumerate(
-                device_prefetch(loader, size=2, transform=stage), start=start_itr
+                device_prefetch(loader, size=2, transform=transform), start=start_itr
             ):
-                fpc = clips.shape[1]
-                step_fn = self._step_fn(fpc)
+                if self.multifpc:
+                    step_fn = self._multifpc_step_fn()
+                else:
+                    step_fn = self._step_fn(clips.shape[1])
                 state, metrics = step_fn(state, clips, masks_enc, masks_pred)
                 pending.append((itr, metrics))
                 if itr % log_every == 0 or len(pending) >= log_every:

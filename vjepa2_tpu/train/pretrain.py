@@ -214,6 +214,69 @@ def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: S
     return train_step
 
 
+def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
+                             num_mask_cfgs: int):
+    """Reference within-step multi-fpc semantics (`app/vjepa/train.py:425-435`,
+    `src/masks/multiseq_multiblock3d.py:63-74`): ONE optimizer step averages
+    the JEPA loss over every (fpc-bucket x mask-config) pair and applies ONE
+    update. Under jit each bucket keeps its own static shapes, so the whole
+    thing is still a single compiled program (the r2 design instead
+    alternated one bucket per step, changing the gradient composition for
+    genuinely multi-fpc configs — VERDICT r2 #4).
+
+    Inputs: tuples over fpc buckets (ordered by the trainer's sorted fpcs) of
+    clips [B_i, T_i, H, W, C] and per-mask-config index tuples. mask_index
+    for bucket ``bi`` mask-config ``mi`` is ``bi * num_mask_cfgs + mi`` —
+    identical to the per-bucket step dispatch.
+    """
+
+    def train_step(state: TrainState, clips_tup, masks_enc_tup, masks_pred_tup):
+        momentum = ema_momentum(
+            state.step, ema_start=hp.ema[0], ema_end=hp.ema[1], t_max=hp.total_steps
+        )
+
+        h_lists = []
+        for clips, masks_pred in zip(clips_tup, masks_pred_tup):
+            h_all = encoder.apply({"params": state.target_params}, clips)
+            h_all = h_all.astype(jnp.float32)
+            h_all = (h_all - h_all.mean(-1, keepdims=True)) / jnp.sqrt(
+                h_all.var(-1, keepdims=True) + 1e-6
+            )
+            h_all = jax.lax.stop_gradient(h_all)
+            h_lists.append([apply_mask(h_all, mp) for mp in masks_pred])
+
+        def loss_fn(params):
+            z_list, h_flat = [], []
+            for bi, (clips, masks_enc, masks_pred) in enumerate(
+                zip(clips_tup, masks_enc_tup, masks_pred_tup)
+            ):
+                for mi, (me, mp) in enumerate(zip(masks_enc, masks_pred)):
+                    z = encoder.apply({"params": params["encoder"]}, clips, [me])
+                    z = predictor.apply(
+                        {"params": params["predictor"]}, z, me, mp,
+                        bi * num_mask_cfgs + mi,
+                    )
+                    z_list.append(z)
+                    h_flat.append(h_lists[bi][mi])
+            return jepa_loss(z_list, h_flat, hp.loss_exp)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        target = ema_update(state.target_params, params["encoder"], momentum)
+        new_state = state.replace(
+            step=state.step + 1, params=params, target_params=target, opt_state=opt_state
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "ema_momentum": momentum,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
 def shard_state(state: TrainState, mesh, tp: bool = True) -> TrainState:
     """Place the train state on the mesh per the FSDP/TP param rules.
 
