@@ -4,8 +4,9 @@
 Modes:
   --mode headline  (default) measured matmul ceiling + ViT-g encode (the
                    BASELINE.json "clips/sec/chip") + ViT-L masked-pretrain
-                   step, each timed as TWO independent runs with per-step
-                   dispatch times — auditable and self-checking.
+                   step, each timed as THREE independent runs (after a
+                   warmup step) with per-step dispatch times; the headline
+                   is the MEDIAN run — auditable and self-checking.
   --mode encode    encode throughput only
   --mode pretrain  full masked-pretrain train-step time (dual encoder fwd +
                    predictor + backward + AdamW + EMA)
@@ -22,9 +23,9 @@ NOTE (hard-won, .claude/skills/verify/SKILL.md):
 * ``block_until_ready`` can return without executing on tunnel platforms —
   only a value fetch forces execution;
 * tunnel throughput varies across sessions (BENCH_r01 recorded 2.21 clips/s
-  for a program that measures 13.7 on healthy sessions) — hence two runs +
-  the agreement field: if ``extra.agreement`` is far from 1.0, the
-  session/platform was unstable, not the model.
+  for a program that measures 13.7 on healthy sessions) — hence three runs,
+  a median headline, and the agreement field: if ``extra.agreement`` is far
+  from 1.0, the session/platform was unstable, not the model.
 """
 
 import argparse
@@ -64,13 +65,19 @@ def chip_peak_tflops() -> float:
 _PEAK_CACHE: list = []
 
 
-def measured_peak_tflops(n: int = 8192, iters: int = 16, reps: int = 2) -> float:
+def measured_peak_tflops(n: int = 8192, iters: int = 64, reps: int = 2) -> float:
     """Empirical bf16 matmul ceiling on THIS device/stack.
 
     The matmul chain runs inside ONE jitted fori_loop per dispatch, so a
     contended host CPU (concurrent test runs, data workers) cannot starve
     the device and fake a low ceiling — per-step Python dispatch did exactly
     that in BENCH-headline shakeout (29 "TFLOPS" with pytest running).
+
+    ``iters`` is sized so total device work (~720 ms) dwarfs the ~35 ms
+    fixed dispatch+fetch round-trip the tunnel charges per timing window
+    (micro-bench methodology v4, .claude/skills/verify/SKILL.md) — at the
+    old iters=16 the overhead shaved ~20% off the reading (150 vs the
+    ~190-200 this chip measures with the overhead amortized).
     """
     if _PEAK_CACHE:
         return _PEAK_CACHE[0]
@@ -107,14 +114,22 @@ def encoder_flops(embed_dim, depth, mlp_ratio, n_tokens, patch_size=16, tubelet=
     return depth * per_block + patch_flop
 
 
-def _timed_runs(step, n_steps: int, n_runs: int = 2):
+def _timed_runs(step, n_steps: int, n_runs: int = 3, warmup_steps: int = 1):
     """Chained-carry timing, ``n_runs`` independent windows.
 
     ``step`` maps a scalar carry to a new scalar carry (with all the real
     work data-dependent on it). Returns list of run dicts.
+
+    ``warmup_steps`` post-compile steps run (and block) before the first
+    timed window: the first dispatch after compilation pays a one-time
+    donation/layout shuffle (891 ms observed on a 540 ms step in the r2
+    driver capture) that is warmup, not the program.
     """
     runs = []
     carry = jnp.float32(0.0)
+    for _ in range(warmup_steps):
+        carry = step(carry) * 1e-30
+        float(carry)
     for r in range(n_runs):
         per_step = []
         t0 = time.perf_counter()
@@ -135,7 +150,16 @@ def _agreement(runs) -> float:
     return round(min(times) / max(times), 4)
 
 
-def bench_encode(args, n_runs: int = 2):
+def _median_ms(runs) -> float:
+    """Median-of-runs headline (r3, VERDICT #7): robust to one contended
+    window, unlike min (flatters) or mean (penalizes platform noise)."""
+    times = sorted(r["ms_per_step"] for r in runs)
+    n = len(times)
+    mid = times[n // 2] if n % 2 else (times[n // 2 - 1] + times[n // 2]) / 2
+    return round(mid, 2)
+
+
+def bench_encode(args, n_runs: int = 3):
     from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
 
     enc = MODEL_REGISTRY[args.model](
@@ -165,7 +189,7 @@ def bench_encode(args, n_runs: int = 2):
     compile_s = time.perf_counter() - t0
 
     runs = _timed_runs(lambda c: fwd(params, clips, c.astype(jnp.bfloat16)), args.steps, n_runs)
-    best_ms = min(r["ms_per_step"] for r in runs)
+    best_ms = _median_ms(runs)
     clips_per_sec = B / (best_ms / 1e3)
 
     n_tokens = (T // 2) * (S // 16) ** 2
@@ -190,7 +214,7 @@ def bench_encode(args, n_runs: int = 2):
     }
 
 
-def bench_pretrain(args, n_runs: int = 2):
+def bench_pretrain(args, n_runs: int = 3):
     from vjepa2_tpu.masks.multiblock3d import MaskCollator
     from vjepa2_tpu.train.pretrain import (
         PretrainHParams,
@@ -256,7 +280,7 @@ def bench_pretrain(args, n_runs: int = 2):
         return m["loss"]
 
     runs = _timed_runs(one, args.steps, n_runs)
-    best_ms = min(r["ms_per_step"] for r in runs)
+    best_ms = _median_ms(runs)
     dt = best_ms / 1e3
 
     # FLOP estimate: target fwd (full seq) + ctx fwd (enc on ctx tokens +
@@ -361,13 +385,33 @@ def bench_ac(args):
 
     float(one(jnp.float32(0.0)))  # compile
     runs = _timed_runs(one, args.steps)
-    best_ms = min(r["ms_per_step"] for r in runs)
+    best_ms = _median_ms(runs)
+    # FLOP model (reference hot loop `app/vjepa_droid/train.py:403-449`):
+    # per-frame target encode (B*T fake 2-frame clips, no grad) + predictor
+    # teacher-forcing fwd over (T-1) frames of (tpf + 2 cond tokens) + one
+    # AR rollout re-feed per auto_step + backward ~ 2x the predictor fwds
+    cond = 2
+    n_tf = (T - 1) * (tpf + cond)
+    pred_f = encoder_flops(1024, 24, 4.0, n_tf, patch_size=0)
+    ar_f = sum(
+        encoder_flops(1024, 24, 4.0, (n + 1) * (tpf + cond), patch_size=0)
+        for n in range(1, hp.auto_steps)
+    )
+    enc_f = B * T * encoder_flops(encoder.embed_dim, encoder.depth,
+                                  encoder.mlp_ratio, tpf)
+    total = enc_f + 3 * B * (pred_f + ar_f)
+    measured = measured_peak_tflops()
+    mfu = total / (best_ms / 1e3) / 1e12 / measured
     return {
         "metric": f"AC ({args.model}+pred24x1024) train step ({T}f@{S}px bs{B})",
         "value": best_ms,
         "unit": "ms/step",
-        "vs_baseline": 0.0,
-        "extra": {"runs": runs, "agreement": _agreement(runs)},
+        "vs_baseline": round(mfu, 4),
+        "extra": {"runs": runs, "agreement": _agreement(runs),
+                  "measured_peak_tflops": round(measured, 1),
+                  "mfu_vs_nominal": round(
+                      total / (best_ms / 1e3) / 1e12 / chip_peak_tflops(), 4),
+                  "total_step_flops_T": round(total / 1e12, 2)},
     }
 
 
@@ -411,11 +455,26 @@ def bench_cem(args):
     for i in range(args.steps):
         plan = wm.infer_next_action(rep, pose, goal, rng=jax.random.PRNGKey(i + 1))
     dt = (time.perf_counter() - t0) / args.steps
+    # FLOP model (reference hot loop `notebooks/utils/mpc_utils.py:28-163`):
+    # cem_steps iterations x samples rollouts; rollout step r re-feeds the
+    # predictor on (r+1) frames of (tpf + 2 cond) tokens
+    cfg = wm.cem_config
+    cond = 2
+    pred_f = sum(
+        encoder_flops(predictor.predictor_embed_dim, predictor.depth, 4.0,
+                      (r + 1) * (tpf + cond), patch_size=0)
+        for r in range(cfg.rollout)
+    )
+    total = cfg.cem_steps * cfg.samples * pred_f
+    measured = measured_peak_tflops()
+    mfu = total / dt / 1e12 / measured
     return {
         "metric": f"CEM plan latency ({args.model} wm, 64 samples x 5 steps, rollout 2)",
         "value": round(dt * 1e3, 2),
         "unit": "ms/plan",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(mfu, 4),
+        "extra": {"measured_peak_tflops": round(measured, 1),
+                  "total_plan_flops_T": round(total / 1e12, 3)},
     }
 
 
@@ -440,7 +499,9 @@ def main():
     # (`configs/train/vitg16/droid-256px-8f.yaml`); the full-size model is
     # a mesh job (`train/droid_loop.py` shards it).
     if args.model is None:
-        args.model = "vit_large" if args.mode == "ac" else "vit_giant"
+        # pretrain defaults to ViT-L (the headline capture's model — a
+        # bs8/16f vit_giant pretrain step without remat needs ~21 GB HBM)
+        args.model = "vit_giant" if args.mode in ("headline", "encode") else "vit_large"
     if args.frames is None:
         args.frames = 8 if args.mode == "ac" else 16
     if args.mode == "ac":

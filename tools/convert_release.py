@@ -75,6 +75,9 @@ def main(argv=None):
                     help="run the probe on synthetic data (no SSv2 on disk)")
     ap.add_argument("--expect-sha256", default=None)
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="dress-rehearsal mode: shrink the probe to CI size "
+                    "(the converted checkpoint still drives it)")
     args = ap.parse_args(argv)
 
     if not os.path.exists(args.pt):
@@ -111,7 +114,18 @@ def main(argv=None):
         save_params(os.path.join(out_dir, "predictor"), pred_params)
     print(f"saved orbax params under {out_dir}")
 
+    published = PUBLISHED_SSV2_TOP1.get(args.model)
+    report = {
+        "model": args.model,
+        "sha256": digest,
+        "probe_top1": None,
+        "published_top1": published,
+        "parity_gate_pct": PARITY_GATE_PCT,
+    }
+
     if args.skip_eval:
+        report["note"] = "conversion only (--skip-eval); probe not run"
+        print(json.dumps(report))
         return 0
 
     # -- SSv2 probe (real data if the config points at it; synthetic smoke
@@ -119,25 +133,21 @@ def main(argv=None):
     cfg_path = args.eval_config or MODEL_TO_EVAL_CONFIG.get(args.model)
     if cfg_path is None:
         print("no published SSv2 config for this model; pass --eval-config")
+        print(json.dumps(report))
         return 0
     from vjepa2_tpu.cli.eval import main as eval_main
 
     eval_args = ["--fname", cfg_path, "--checkpoint", args.pt]
     if args.synthetic_smoke:
         eval_args += ["--synthetic-data", "--epochs", "1"]
+    if args.tiny:
+        eval_args += ["--tiny"]
     result = eval_main(eval_args)
     top1 = result.get("top1") if isinstance(result, dict) else None
-    published = PUBLISHED_SSV2_TOP1.get(args.model)
-    report = {
-        "model": args.model,
-        "sha256": digest,
-        "probe_top1": top1,
-        "published_top1": published,
-        "parity_gate_pct": PARITY_GATE_PCT,
-    }
-    if top1 is not None and published is not None and not args.synthetic_smoke:
+    report["probe_top1"] = top1
+    if top1 is not None and published is not None and not (args.synthetic_smoke or args.tiny):
         report["within_gate"] = bool(abs(top1 - published) <= PARITY_GATE_PCT)
-    elif args.synthetic_smoke:
+    elif args.synthetic_smoke or args.tiny:
         report["note"] = ("synthetic smoke only proves the converted weights drive "
                           "the full probe stack; run with real SSv2 data for the gate")
     print(json.dumps(report))
