@@ -1,0 +1,273 @@
+"""Fused LayerNorm + QKV projection (+ RoPE) prologue for flash attention.
+
+Reference neighborhood: `src/models/utils/modules.py` Block.forward —
+``x + attn(norm1(x))`` with attention's qkv projection and rotary embedding.
+Under XLA the pre-attention LayerNorm costs ~4x its HBM floor and its
+backward adds two more big reduces per instance; across the ViT-L pretrain
+step the LN family measured ~110 ms of a 557 ms step (r3 device trace:
+70 ms `convert_reduce_fusion` fwd + 40 ms `reduce_sum` bwd). A standalone
+pallas LN LOST time end-to-end (ops/layernorm.py STATUS note): the custom
+call breaks the fusions XLA builds around its own LN. This kernel moves the
+whole neighborhood instead:
+
+    x (bf16, pre-LN) -> [pallas] LN (fp32 stats) -> y @ W_qkv + b
+                       -> split-half RoPE on q/k -> q, k, v [B, H, N, D]
+
+so the boundary is clean: XLA sees one opaque producer of q/k/v (exactly
+what the flash kernel consumes) and the LN intermediate never exists in
+HBM. With rotation done here, the flash kernel runs rope-free, which also
+lifts its in-kernel table cost and VMEM cap.
+
+The backward (custom VJP) is plain XLA: matmuls (dW, dy) are MXU-friendly
+there, and the LN backward reduces run once per layer instead of being
+re-fused badly. `w`/`b` arrive pre-concatenated [C, 3*H*D] / [3*H*D] with
+any head permutation already folded in (the caller's split-half rope
+layout), so dW flows back through the same static permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vjepa2_tpu.ops.flash_attention import _rope_rotate, _rope_rotate_t
+
+DEFAULT_BLOCK_N = 256
+
+
+def _pick_block(n: int, target: int) -> int:
+    best = 1
+    for b in range(1, min(n, target) + 1):
+        if n % b == 0 and (b % 8 == 0 or best < 8):
+            best = max(best, b)
+    return best
+
+
+def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, cos_ref, sin_ref,
+                   q_ref, k_ref, v_ref, mean_ref, rstd_ref,
+                   *, eps: float, num_heads: int, head_dim: int,
+                   use_rope: bool):
+    x = x_ref[0].astype(jnp.float32)  # [BLK_N, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = xc * rstd * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    mean_ref[0] = mean
+    rstd_ref[0] = rstd
+
+    qkv = jax.lax.dot_general(
+        y.astype(w_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BLK_N, 3*H*D]
+    qkv = qkv + bias_ref[0]
+
+    hd = num_heads * head_dim
+    blk = qkv.shape[0]
+
+    def heads(i):
+        # [BLK_N, H*D] -> [H, BLK_N, D]
+        part = qkv[:, i * hd:(i + 1) * hd].reshape(blk, num_heads, head_dim)
+        return part.swapaxes(0, 1)
+
+    q, k, v = heads(0), heads(1), heads(2)
+    if use_rope:
+        cos = cos_ref[0][None]  # [1, BLK_N, D] broadcasting over heads
+        sin = sin_ref[0][None]
+        q = _rope_rotate(q, cos, sin)
+        k = _rope_rotate(k, cos, sin)
+    q_ref[0] = q.astype(q_ref.dtype)
+    k_ref[0] = k.astype(k_ref.dtype)
+    v_ref[0] = v.astype(v_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "num_heads", "head_dim", "block_n", "interpret"),
+)
+def _ln_qkv_fwd(x, gamma, beta, w, bias, cos, sin,
+                eps, num_heads, head_dim, block_n, interpret):
+    B, N, C = x.shape
+    H, D = num_heads, head_dim
+    use_rope = cos is not None
+    if cos is None:
+        cos = sin = jnp.zeros((1, N, D), jnp.float32)
+    elif cos.shape[0] == 1 and B > 1:
+        pass  # broadcast via index_map
+    tb = cos.shape[0]
+
+    grid = (B, N // block_n)
+    qkv_specs = [
+        pl.BlockSpec((1, H, block_n, D), lambda bi, ni: (bi, 0, ni, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+    out, outk, outv, mean, rstd = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_kernel, eps=eps, num_heads=H, head_dim=D,
+            use_rope=use_rope,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_n, C), lambda bi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * H * D), lambda bi, ni: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H * D), lambda bi, ni: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, D), lambda bi, ni, tb=tb: (bi % tb, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, D), lambda bi, ni, tb=tb: (bi % tb, ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_specs + [
+            pl.BlockSpec((1, block_n, 1), lambda bi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, 1), lambda bi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, N, D), x.dtype),
+            jax.ShapeDtypeStruct((B, H, N, D), x.dtype),
+            jax.ShapeDtypeStruct((B, H, N, D), x.dtype),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, gamma[None], beta[None], w, bias[None], cos, sin)
+    return out, outk, outv, mean, rstd
+
+
+def _xla_reference(x, gamma, beta, w, bias, rope, eps, num_heads, head_dim):
+    """Unfused formulation (identical math) for off-TPU and the VJP."""
+    B, N, C = x.shape
+    H, D = num_heads, head_dim
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    xc = xf - mean
+    var = (xc * xc).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (xc * rstd * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
+    qkv = jnp.einsum("bnc,ck->bnk", y, w).astype(jnp.float32) + bias
+    q, k, v = (
+        qkv[..., i * H * D:(i + 1) * H * D].reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        for i in range(3)
+    )
+    if rope is not None:
+        cos, sin = rope
+        q = _rope_rotate(q, cos[:, None], sin[:, None])
+        k = _rope_rotate(k, cos[:, None], sin[:, None])
+    return q.astype(x.dtype), k.astype(x.dtype), v.astype(x.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
+)
+def _ln_qkv_core(x, gamma, beta, w, bias, cos, sin,
+                 eps, num_heads, head_dim, block_n, interpret):
+    q, k, v, _, _ = _ln_qkv_fwd(x, gamma, beta, w, bias, cos, sin,
+                                eps, num_heads, head_dim, block_n, interpret)
+    return q, k, v
+
+
+def _core_fwd(x, gamma, beta, w, bias, cos, sin,
+              eps, num_heads, head_dim, block_n, interpret):
+    q, k, v, mean, rstd = _ln_qkv_fwd(x, gamma, beta, w, bias, cos, sin,
+                                      eps, num_heads, head_dim, block_n,
+                                      interpret)
+    return (q, k, v), (x, gamma, beta, w, cos, sin, mean, rstd)
+
+
+def _core_bwd(eps, num_heads, head_dim, block_n, interpret, res, grads):
+    x, gamma, beta, w, cos, sin, mean, rstd = res
+    dq, dk, dv = grads
+    B, N, C = x.shape
+    H, D = num_heads, head_dim
+    use_rope = cos is not None
+
+    if use_rope:
+        # adjoint of the split-half rotation (the pair slots carry different
+        # angles under the reference's tiled-frequency quirk: see
+        # `flash_attention._rope_rotate_t`)
+        dq = _rope_rotate_t(dq.astype(jnp.float32), cos[:, None], sin[:, None])
+        dk = _rope_rotate_t(dk.astype(jnp.float32), cos[:, None], sin[:, None])
+
+    def flat(g):  # [B, H, N, D] -> [B, N, H*D]
+        return g.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+    dqkv = jnp.concatenate(
+        [flat(dq).astype(jnp.float32), flat(dk).astype(jnp.float32),
+         flat(dv).astype(jnp.float32)], axis=-1
+    )  # [B, N, 3HD] fp32
+
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mean) * rstd  # recomputed from the tiny saved stats
+    gf = gamma.astype(jnp.float32)
+    y = xhat * gf + beta.astype(jnp.float32)
+
+    dbias = dqkv.sum((0, 1))
+    dw = jnp.einsum("bnc,bnk->ck", y.astype(x.dtype),
+                    dqkv.astype(x.dtype)).astype(w.dtype)
+    dy = jnp.einsum("bnk,ck->bnc", dqkv.astype(x.dtype), w).astype(jnp.float32)
+
+    wdy = dy * gf
+    c1 = wdy.mean(-1, keepdims=True)
+    c2 = (wdy * xhat).mean(-1, keepdims=True)
+    dx = ((wdy - c1 - xhat * c2) * rstd).astype(x.dtype)
+    dgamma = (dy * xhat).sum((0, 1)).astype(gamma.dtype)
+    dbeta = dy.sum((0, 1)).astype(beta.dtype)
+
+    zc = jnp.zeros_like(cos) if cos is not None else None
+    zs = jnp.zeros_like(sin) if sin is not None else None
+    return dx, dgamma, dbeta, dw, dbias.astype(jnp.float32), zc, zs
+
+
+_ln_qkv_core.defvjp(_core_fwd, _core_bwd)
+
+
+def supports(batch: int, n: int, c: int, num_heads: int, head_dim: int) -> bool:
+    from vjepa2_tpu.ops.flash_attention import _mosaic_available
+
+    if not _mosaic_available():
+        return False
+    if c % 128 != 0 or (3 * num_heads * head_dim) % 128 != 0:
+        return False
+    if head_dim % 8 != 0:
+        return False
+    return _pick_block(n, DEFAULT_BLOCK_N) >= 8
+
+
+def ln_qkv(x, gamma, beta, w, bias, rope=None, eps: float = 1e-6,
+           num_heads: int | None = None, head_dim: int | None = None,
+           block_n: int = DEFAULT_BLOCK_N, interpret: bool = False):
+    """LN(x) @ W_qkv + b, split into per-head q/k/v with optional RoPE.
+
+    x: [B, N, C] (any float dtype; LN stats in fp32); gamma/beta: [C] fp32;
+    w: [C, 3*H*D] (columns ordered [q | k | v], head-permuted by the caller
+    if rope uses the split-half layout); bias: [3*H*D] fp32;
+    rope: (cos, sin) split-half tables [B|1, N, D] fp32 (pre-expanded, see
+    `flash_attention.expand_rope_cache`) — q/k are returned ROTATED.
+
+    Returns q, k, v: [B, H, N, D] in x.dtype. Differentiable.
+    """
+    B, N, C = x.shape
+    assert num_heads is not None and head_dim is not None
+    cos, sin = (None, None) if rope is None else rope
+    if cos is not None and cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    if (not supports(B, N, C, num_heads, head_dim)) and not interpret:
+        return _xla_reference(x, gamma, beta, w, bias,
+                              None if cos is None else (cos, sin),
+                              eps, num_heads, head_dim)
+    bn = _pick_block(N, block_n)
+    return _ln_qkv_core(
+        x, gamma.astype(jnp.float32), beta.astype(jnp.float32), w,
+        bias.astype(jnp.float32), cos, sin,
+        eps, num_heads, head_dim, bn, interpret,
+    )
