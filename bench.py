@@ -30,11 +30,19 @@ NOTE (hard-won, .claude/skills/verify/SKILL.md):
 
 import argparse
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The driver environment registers the TPU backend from sitecustomize, which
+# WINS over the JAX_PLATFORMS env var (see tests/conftest.py). Re-apply the
+# env var through jax.config so `JAX_PLATFORMS=cpu python bench.py ...`
+# actually runs on CPU (smoke tests on hosts where the tunnel is down).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 PEAK_BF16_TFLOPS = {
     # per-chip dense bf16 peak
@@ -343,6 +351,90 @@ def bench_headline(args):
     return out
 
 
+def bench_e2e(args):
+    """END-TO-END real-video pretrain step (VERDICT r2 #3): mp4 decode ->
+    transforms -> collator -> H2D prefetch -> jit step, on the REAL loader
+    stack (`train/loop.py:Pretrainer.run`), not a synthetic feed. The
+    headline is the median steady-state iteration from the trainer's own
+    per-iter CSV (compile excluded); ``e2e_overhead_vs_synthetic`` in extra
+    is the ratio against the synthetic-loader step (`--mode pretrain`).
+
+    Reference equivalent: the full `app/vjepa/train.py` hot loop with its
+    decord/DataLoader pipeline.
+    """
+    import csv as _csv
+    import tempfile
+
+    import cv2
+
+    from vjepa2_tpu.core.config import PretrainConfig
+    from vjepa2_tpu.train.loop import Pretrainer
+
+    B, T, S = args.batch, args.frames, args.size
+    steps = max(args.steps, 12)
+    with tempfile.TemporaryDirectory() as root:
+        # synthetic mp4s at the target resolution (24 clips, resampled)
+        manifest = os.path.join(root, "train.csv")
+        with open(manifest, "w") as f:
+            for i in range(24):
+                path = os.path.join(root, f"v{i}.mp4")
+                w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (S, S))
+                rs = np.random.RandomState(i)
+                base = rs.randint(0, 255, (S, S, 3), np.uint8)
+                for t in range(T * 4):
+                    w.write(np.roll(base, 3 * t, axis=1))
+                w.release()
+                f.write(f"{path} {i % 10}\n")
+
+        cfg = PretrainConfig.from_dict({
+            "folder": os.path.join(root, "out"),
+            "data": {"datasets": [manifest], "batch_size": B, "crop_size": S,
+                     "dataset_fpcs": [T], "num_workers": args.workers,
+                     "patch_size": 16, "tubelet_size": 2},
+            "mask": MASK_CFGS,
+            "meta": {"dtype": "bfloat16", "seed": 0, "load_checkpoint": False},
+            "model": {"model_name": args.model, "pred_depth": 12,
+                      "pred_embed_dim": 384, "pred_num_heads": 12,
+                      "use_rope": True, "use_mask_tokens": True,
+                      "use_flash": not args.no_flash,
+                      "use_activation_checkpointing": args.remat},
+            "optimization": {"epochs": 1, "ipe": steps, "warmup": 0,
+                             "lr": 1e-3, "start_lr": 2e-4, "final_lr": 1e-6,
+                             "weight_decay": 0.04, "final_weight_decay": 0.4},
+        })
+        trainer = Pretrainer(cfg)
+        t0 = time.perf_counter()
+        result = trainer.run(epochs=1, log_every=4)
+        wall_s = time.perf_counter() - t0
+
+        # steady-state = median iter_ms over the last half of the epoch (the
+        # first logged window absorbs compile + loader warmup)
+        log_path = os.path.join(cfg.folder, "log_r0.csv")
+        with open(log_path) as f:
+            rows = list(_csv.DictReader(f))
+        iters = [float(r["iter_ms"]) for r in rows]
+        tail = sorted(iters[len(iters) // 2:])
+        med = tail[len(tail) // 2]
+    return {
+        "metric": f"{args.model} END-TO-END pretrain step, real mp4 loader "
+                  f"({T}f@{S}px bs{B}, {args.workers} workers)",
+        "value": round(med, 2),
+        "unit": "ms/step",
+        "vs_baseline": 0.0,
+        "extra": {"iter_ms": [round(x, 1) for x in iters],
+                  "epoch_wall_s": round(wall_s, 1),
+                  "final_loss": round(result.get("loss", float("nan")), 4),
+                  "clips_per_sec": round(B / (med / 1e3), 2),
+                  # r2 synthetic-loader step on the same config measured
+                  # 539.8 ms (BENCH_r02); the gap is host decode on this
+                  # box's ONE cpu core (~18 clips/s decode-only ceiling,
+                  # scripts/bench_loader.py) — real TPU-VM hosts have
+                  # 14 vCPU/chip for worker overlap
+                  "note": "loader-bound on 1-core host; compare --mode "
+                          "pretrain for the device-only step"},
+    }
+
+
 def bench_ac(args):
     """AC predictor train step (teacher forcing + rollout), BASELINE config 5."""
     from vjepa2_tpu.models.ac_predictor import vit_ac_predictor
@@ -481,7 +573,7 @@ def bench_cem(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="headline",
-                    choices=["headline", "encode", "pretrain", "ac", "cem"])
+                    choices=["headline", "encode", "pretrain", "e2e", "ac", "cem"])
     ap.add_argument("--model", default=None)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=None)
@@ -490,6 +582,8 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--no-flash", action="store_true",
                     help="time the XLA attention path instead of the Pallas kernel")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="e2e loader workers (0 = in-process; fastest on 1-core hosts)")
     args = ap.parse_args()
 
     # Mode-aware defaults. AC post-training trains encoder AND predictor
@@ -519,6 +613,7 @@ def main():
         "headline": bench_headline,
         "encode": bench_encode,
         "pretrain": bench_pretrain,
+        "e2e": bench_e2e,
         "ac": bench_ac,
         "cem": bench_cem,
     }[args.mode](args)

@@ -1,0 +1,100 @@
+"""Step-level A/B of the fused LN+QKV(+RoPE) prologue (`ops/ln_qkv.py`,
+`models.modules.FUSE_LN_QKV`) on the full ViT-L bs8 16f@256 pretrain step.
+
+Both variants are traced in ONE process and interleaved across rounds
+(methodology v4: never A/B a <15% effect across processes — session drift
+is +-10%). The two jitted programs share one donated TrainState, so HBM
+holds a single state; rounds alternate A/B on the evolving state.
+
+Run: timeout 3000 python -u scripts/probe_ln_qkv_step.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vjepa2_tpu.models.modules as M
+from vjepa2_tpu.masks.multiblock3d import MaskCollator
+from vjepa2_tpu.train.pretrain import (
+    PretrainHParams, build_models, init_params, make_optimizer,
+    make_train_step,
+)
+from vjepa2_tpu.train.state import TrainState
+
+MASK_CFGS = [
+    {"spatial_scale": (0.15, 0.15), "temporal_scale": (1.0, 1.0),
+     "aspect_ratio": (0.75, 1.5), "num_blocks": 8},
+    {"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+     "aspect_ratio": (0.75, 1.5), "num_blocks": 2},
+]
+
+
+def main():
+    B, T, S = 8, 16, 256
+    encoder, predictor = build_models(
+        model_name="vit_large", crop_size=S, num_frames=T,
+        pred_depth=12, pred_embed_dim=384, pred_num_heads=12,
+        use_rope=True, num_mask_tokens=2, use_flash=True, dtype=jnp.bfloat16,
+    )
+    coll = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
+    coll.step()
+    me, mp = coll(T, B)
+    hp = PretrainHParams(ipe=100, epochs=10)
+    tx = make_optimizer(hp)
+    params, target = init_params(
+        encoder, predictor, 0, (B, T, S, S, 3), jnp.asarray(me[0]),
+        jnp.asarray(mp[0]))
+    state = TrainState.create(params, target, tx)
+    clips0 = jnp.asarray(np.random.RandomState(0).rand(B, T, S, S, 3),
+                         jnp.bfloat16)
+    me = tuple(jnp.asarray(x) for x in me)
+    mp = tuple(jnp.asarray(x) for x in mp)
+
+    fns = {}
+    for fuse in (False, True):
+        M.FUSE_LN_QKV = fuse  # read at trace time inside Block
+        fns[fuse] = jax.jit(make_train_step(encoder, predictor, tx, hp),
+                            donate_argnums=(0,))
+
+    def one(fuse, carry):
+        nonlocal state
+        clips = clips0 + carry.astype(jnp.bfloat16)
+        state, m = fns[fuse](state, clips, me, mp)
+        return m["loss"]
+
+    # compile both (reuses the evolving state; first call per fn compiles)
+    c = jnp.float32(0.0)
+    for fuse in (False, True):
+        M.FUSE_LN_QKV = fuse
+        t0 = time.perf_counter()
+        c = one(fuse, c) * 1e-30
+        float(c)
+        print(f"compiled fuse={fuse} in {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        c = one(fuse, c) * 1e-30  # warmup (donation/layout shuffle)
+        float(c)
+
+    best = {False: 1e9, True: 1e9}
+    for rnd in range(4):
+        for fuse in (False, True):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                c = one(fuse, c) * 1e-30
+            float(c)
+            dt = (time.perf_counter() - t0) / 8
+            best[fuse] = min(best[fuse], dt)
+            print(f"round {rnd} fuse={fuse}: {dt * 1e3:.1f} ms/step",
+                  flush=True)
+    print(f"RESULT unfused {best[False] * 1e3:.1f} ms/step | "
+          f"fused {best[True] * 1e3:.1f} ms/step | "
+          f"delta {(best[False] - best[True]) * 1e3:+.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Model-level integration of the fused LN+QKV(+RoPE) prologue
+(`models.modules.FUSE_LN_QKV` -> `ops/ln_qkv.py`): a ViT forward AND its
+parameter gradients match the unfused formulation, with and without RoPE.
+
+Off-TPU the fused path routes through `ln_qkv._xla_reference` (identical
+math, same code the kernel's custom VJP uses), so this exercises the whole
+wiring — Block's fusion gate, the pre-LN hand-off, and the permutation-
+matrix fold of `head_perm` into the q/k weight columns (whose transpose is
+a matmul, keeping dW scatter-free)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vjepa2_tpu.models.modules as M
+from vjepa2_tpu.models.vision_transformer import VisionTransformer
+
+
+@pytest.fixture
+def fuse_flag():
+    orig = M.FUSE_LN_QKV
+    yield
+    M.FUSE_LN_QKV = orig
+
+
+def _model(**kw):
+    return VisionTransformer(
+        img_size=(64, 64), num_frames=8, tubelet_size=2, patch_size=16,
+        embed_dim=128, depth=2, num_heads=4, dtype=jnp.float32, **kw)
+
+
+@pytest.mark.parametrize("use_rope", [True, False])
+def test_fused_prologue_matches_unfused(fuse_flag, use_rope):
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 64, 64, 3), jnp.float32)
+    masks = jnp.sort(
+        jnp.asarray(rs.choice(64, (2, 30), replace=True), jnp.int32), axis=1)
+
+    def run(fuse):
+        M.FUSE_LN_QKV = fuse
+        m = _model(use_rope=use_rope, use_flash=True)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x, masks=[masks])
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, x, masks=[masks]) ** 2))(params)
+        return out, g
+
+    o0, g0 = run(False)
+    o1, g1 = run(True)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               atol=5e-6, rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g1)}
+    for k, v in flat0:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat1[key]),
+            atol=2e-4, rtol=2e-4, err_msg=key)
+
+
+def test_fusion_gate_skips_cp_and_masked(fuse_flag):
+    """The gate must NOT fuse when rope tables aren't pre-expanded (e.g. the
+    non-flash path) — outputs stay identical to the plain model either way."""
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(1, 8, 64, 64, 3), jnp.float32)
+    M.FUSE_LN_QKV = True
+    m = _model(use_rope=True, use_flash=False)  # no flash -> no rope_expanded
+    params = m.init(jax.random.PRNGKey(0), x)
+    out_flag_on = m.apply(params, x)
+    M.FUSE_LN_QKV = False
+    out_flag_off = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_flag_on),
+                               np.asarray(out_flag_off), atol=0, rtol=0)

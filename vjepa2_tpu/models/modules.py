@@ -56,6 +56,13 @@ def scaled_trunc_normal(std: float, scale: float):
     return init
 
 
+# Fuse the pre-attention LayerNorm + qkv projection (+ split-half RoPE) into
+# one pallas kernel (`ops/ln_qkv.py`) inside Block when the flash path is
+# active. The standalone pallas LayerNorm LOST step time (see LayerNorm
+# docstring); moving the whole LN->qkv->rope neighborhood keeps the fusion
+# boundary clean. Flip here for step-level A/B (scripts/probe_regress.py).
+FUSE_LN_QKV = False
+
 # Diagnostic knob (scripts/probe_step_buckets.py): False runs LayerNorm in
 # the compute dtype to measure what the fp32 upcast+reduce costs at step
 # level. Production keeps True — the reference's autocast leaves LN in fp32.
@@ -181,7 +188,17 @@ class _QKVProjBHND(nn.Module):
     contraction order differs: three 'bnc,chd->bhnd' einsums produce the
     layout the flash custom-call requires, so XLA's layout assignment can
     put the transposition inside the dots instead of emitting per-layer
-    relayout copies (~0.3 ms each, device trace r3)."""
+    relayout copies (~0.3 ms each, device trace r3).
+
+    Fused-prologue path: when ``ln=(scale, bias)`` is passed, ``x`` is the
+    PRE-LayerNorm residual stream and the whole LN -> qkv projection
+    (-> split-half RoPE with ``rope_expanded`` tables) runs as ONE pallas
+    kernel (`ops/ln_qkv.py`) — the LN intermediate never exists in HBM.
+    ``head_perm`` (the split-half rope layout permutation) is folded into
+    the q/k weight COLUMNS via a 0/1 permutation-matrix matmul: exact (one
+    nonzero per column), and its transpose is another matmul, so dW stays
+    scatter-free (a static gather on w cost +26 ms/step through dW — r3
+    bisect, `scripts/probe_regress.py`)."""
 
     dim: int
     num_heads: int
@@ -190,20 +207,43 @@ class _QKVProjBHND(nn.Module):
     init_std: float = 0.02
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None, rope_expanded=None, head_perm=None):
         C = x.shape[-1]
         H = self.num_heads
         Dh = self.dim // H
         kernel = self.param("kernel", trunc_normal(self.init_std),
                             (C, 3 * self.dim), jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (3 * self.dim,),
+                              jnp.float32)
+        if ln is not None:
+            from vjepa2_tpu.ops import ln_qkv as lnq
+            import numpy as np
+
+            w3 = kernel.reshape(C, 3, H, Dh)
+            b3 = (bias if self.use_bias
+                  else jnp.zeros((3 * self.dim,), jnp.float32)).reshape(3, H, Dh)
+            if head_perm is not None and rope_expanded is not None:
+                # new[..., d] = old[..., perm[d]]  <=>  old @ eye[:, perm]
+                P = jnp.asarray(np.eye(Dh, dtype=np.float32)[:, list(head_perm)])
+                permute = lambda t: jnp.einsum(
+                    "...d,de->...e", t, P, preferred_element_type=jnp.float32)
+                w3 = jnp.stack([permute(w3[:, 0]), permute(w3[:, 1]), w3[:, 2]],
+                               axis=1)
+                b3 = jnp.stack([permute(b3[0]), permute(b3[1]), b3[2]])
+            q, k, v = lnq.ln_qkv(
+                x, ln[0], ln[1],
+                w3.reshape(C, 3 * self.dim).astype(self.dtype),
+                b3.reshape(3 * self.dim).astype(jnp.float32),
+                rope=rope_expanded, num_heads=H, head_dim=Dh,
+            )
+            return q, k, v  # [B, H, N, Dh]; q/k already rotated+permuted
         w = kernel.reshape(C, 3, H, Dh).astype(self.dtype)
         x = x.astype(self.dtype)
         q = jnp.einsum("bnc,chd->bhnd", x, w[:, 0])
         k = jnp.einsum("bnc,chd->bhnd", x, w[:, 1])
         v = jnp.einsum("bnc,chd->bhnd", x, w[:, 2])
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (3 * self.dim,),
-                              jnp.float32)
             b = bias.reshape(3, H, 1, Dh).astype(self.dtype)
             q, k, v = q + b[0], k + b[1], v + b[2]
         return q, k, v  # each [B, H, N, Dh]
@@ -289,10 +329,28 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_ids=None, attn_mask=None, h_patches=None, w_patches=None,
-                 rope_cache=None, rope_expanded=None):
+                 rope_cache=None, rope_expanded=None, ln_params=None):
         from vjepa2_tpu.ops.attention import attend_bhnd
 
         B, N, C = x.shape
+        if ln_params is not None:
+            # fused LN+qkv(+RoPE) prologue (`ops/ln_qkv.py`): x is the
+            # PRE-LayerNorm residual stream; q/k come back rotated, so the
+            # attention call below runs rope-free. Only reachable from
+            # Block's fusion gate (flash on, no mask/causal/CP).
+            q, k, v = _QKVProjBHND(
+                dim=self.dim, num_heads=self.num_heads, use_bias=self.qkv_bias,
+                dtype=self.dtype, init_std=self.init_std, name="qkv",
+            )(x, ln=ln_params,
+              rope_expanded=rope_expanded if self.use_rope else None,
+              head_perm=self.head_perm if self.use_rope else None)
+            out = attend_bhnd(q, k, v, use_flash=self.use_flash,
+                              kv_valid=self.kv_valid)
+            return _OutProjBHND(
+                dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+                init_std=self.init_std, proj_init_scale=self.proj_init_scale,
+                name="proj",
+            )(out)
         # qkv contracted straight into BHND (the flash layout) and the
         # output consumed as BHND — no relayout copies at the kernel edge
         q, k, v = _QKVProjBHND(
@@ -492,7 +550,20 @@ class Block(nn.Module):
                 )
             return y
 
-        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        norm1 = LayerNorm(dtype=self.dtype, name="norm1")
+        # fused LN+qkv prologue: only when attention runs the plain flash
+        # path (no boolean mask, not causal, no CP ring) and rope — if on —
+        # is available as pre-expanded split-half tables
+        fuse_ln = (
+            FUSE_LN_QKV
+            and self.use_flash
+            and self.cp_attend is None
+            and attn_mask is None
+            and not self.is_causal
+            and (rope_expanded is not None or not self.use_rope)
+        )
+        ln_params = norm1(x, return_params=True) if fuse_ln else None
+        y = x if fuse_ln else norm1(x)
         y = Attention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -509,7 +580,7 @@ class Block(nn.Module):
             kv_valid=self.kv_valid,
             name="attn",
         )(y, pos_ids=pos_ids, attn_mask=attn_mask, h_patches=h_patches, w_patches=w_patches,
-          rope_cache=rope_cache, rope_expanded=rope_expanded)
+          rope_cache=rope_cache, rope_expanded=rope_expanded, ln_params=ln_params)
         x = x + maybe_drop(y)
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
