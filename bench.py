@@ -570,6 +570,36 @@ def bench_cem(args):
     }
 
 
+def _require_backend(timeout_s: float = 600.0):
+    """Fail fast (with a parseable JSON line) when the device backend never
+    initializes — the axon tunnel's init retries in an uninterruptible sleep
+    loop forever when the remote end is down, which would otherwise hang the
+    driver's end-of-round capture with no artifact at all."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return
+    err = result.get("error", f"backend init exceeded {timeout_s:.0f}s "
+                              "(tunnel down?)")
+    print(json.dumps({
+        "metric": "benchmark aborted: device backend unreachable",
+        "value": 0.0, "unit": "n/a", "vs_baseline": 0.0,
+        "extra": {"error": err},
+    }))
+    os._exit(2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="headline",
@@ -585,6 +615,7 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="e2e loader workers (0 = in-process; fastest on 1-core hosts)")
     args = ap.parse_args()
+    _require_backend()
 
     # Mode-aware defaults. AC post-training trains encoder AND predictor
     # (reference `app/vjepa_droid/train.py:274-276`): a vit_giant's AdamW

@@ -38,6 +38,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The driver environment's sitecustomize registers the TPU backend and WINS
+# over the JAX_PLATFORMS env var; re-apply it through jax.config so
+# `JAX_PLATFORMS=cpu` callers (the release-gate rehearsal test) never touch
+# the tunnel — a down tunnel otherwise hangs backend init forever.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # published attentive-probe top-1 (BASELINE.md; reference README.md:224-252)
 PUBLISHED_SSV2_TOP1 = {
     "vit_large": 73.7,
