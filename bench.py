@@ -390,7 +390,8 @@ def bench_e2e(args):
             "folder": os.path.join(root, "out"),
             "data": {"datasets": [manifest], "batch_size": B, "crop_size": S,
                      "dataset_fpcs": [T], "num_workers": args.workers,
-                     "patch_size": 16, "tubelet_size": 2},
+                     "patch_size": 16, "tubelet_size": 2,
+                     "normalize_on_device": args.u8},
             "mask": MASK_CFGS,
             "meta": {"dtype": "bfloat16", "seed": 0, "load_checkpoint": False},
             "model": {"model_name": args.model, "pred_depth": 12,
@@ -614,6 +615,9 @@ def main():
                     help="time the XLA attention path instead of the Pallas kernel")
     ap.add_argument("--workers", type=int, default=0,
                     help="e2e loader workers (0 = in-process; fastest on 1-core hosts)")
+    ap.add_argument("--u8", action="store_true",
+                    help="e2e: uint8 clips host-side, normalize on device "
+                         "(4x less host memory traffic and H2D bytes)")
     args = ap.parse_args()
     _require_backend()
 

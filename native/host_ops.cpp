@@ -94,6 +94,75 @@ void crop_resize_normalize_clip(
   for (auto& th : threads) th.join();
 }
 
+// uint8-out variant: crop + bilinear resize, round to uint8, NO normalize.
+// Used by the deferred-normalization pipeline (clips stay uint8 through
+// collate/IPC/H2D — 4x less host memory traffic than float32 — and the
+// (x/255 - mean)/std runs on the device inside the jit step, where XLA
+// fuses it into the patch-embed matmul). Rounding to uint8 after resize
+// matches torchvision's uint8 resize in the reference pipeline.
+void crop_resize_u8_frame(
+    const uint8_t* src, int H, int W,
+    int top, int left, int ch, int cw,
+    uint8_t* dst, int oh, int ow, int hflip) {
+  const float sy = (float)ch / (float)oh;
+  const float sx = (float)cw / (float)ow;
+  for (int oy = 0; oy < oh; ++oy) {
+    float fy = ((float)oy + 0.5f) * sy - 0.5f;
+    int y0 = (int)fy;
+    if (fy < 0) { fy = 0; y0 = 0; }
+    int y1 = std::min(y0 + 1, ch - 1);
+    float wy = fy - (float)y0;
+    const uint8_t* row0 = src + (size_t)(top + std::min(y0, ch - 1)) * W * 3 + left * 3;
+    const uint8_t* row1 = src + (size_t)(top + y1) * W * 3 + left * 3;
+    uint8_t* out_row = dst + (size_t)oy * ow * 3;
+    for (int ox = 0; ox < ow; ++ox) {
+      float fx = ((float)ox + 0.5f) * sx - 0.5f;
+      int x0 = (int)fx;
+      if (fx < 0) { fx = 0; x0 = 0; }
+      int x1 = std::min(x0 + 1, cw - 1);
+      float wx = fx - (float)x0;
+      int out_x = hflip ? (ow - 1 - ox) : ox;
+      uint8_t* out_px = out_row + (size_t)out_x * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = (float)row0[(size_t)x0 * 3 + c];
+        float v01 = (float)row0[(size_t)x1 * 3 + c];
+        float v10 = (float)row1[(size_t)x0 * 3 + c];
+        float v11 = (float)row1[(size_t)x1 * 3 + c];
+        float v = (v00 * (1 - wx) + v01 * wx) * (1 - wy) +
+                  (v10 * (1 - wx) + v11 * wx) * wy;
+        out_px[c] = (uint8_t)std::min(255.0f, std::max(0.0f, v + 0.5f));
+      }
+    }
+  }
+}
+
+void crop_resize_u8_clip(
+    const uint8_t* src, int T, int H, int W,
+    const int* tops, const int* lefts, const int* chs, const int* cws,
+    uint8_t* dst, int oh, int ow, int hflip, int num_threads) {
+  const size_t in_stride = (size_t)H * W * 3;
+  const size_t out_stride = (size_t)oh * ow * 3;
+  int nt = std::max(1, std::min(num_threads, T));
+  if (nt == 1) {
+    for (int t = 0; t < T; ++t) {
+      crop_resize_u8_frame(src + t * in_stride, H, W, tops[t], lefts[t],
+                           chs[t], cws[t], dst + t * out_stride, oh, ow, hflip);
+    }
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int w = 0; w < nt; ++w) {
+    threads.emplace_back([&, w]() {
+      for (int t = w; t < T; t += nt) {
+        crop_resize_u8_frame(src + t * in_stride, H, W, tops[t], lefts[t],
+                             chs[t], cws[t], dst + t * out_stride, oh, ow, hflip);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 // In-place uint8 -> normalized float32 (no crop/resize), threaded.
 void normalize_clip(const uint8_t* src, float* dst, int64_t n_pixels,
                     const float* mean, const float* std_, int num_threads) {

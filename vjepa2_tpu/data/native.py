@@ -56,6 +56,13 @@ def _load() -> Optional[ctypes.CDLL]:
         c_f32p, ctypes.c_int, ctypes.c_int,
         c_f32p, c_f32p, ctypes.c_int, ctypes.c_int,
     ]
+    if hasattr(lib, "crop_resize_u8_clip"):  # older prebuilt .so may lack it
+        lib.crop_resize_u8_clip.argtypes = [
+            c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_i32p, c_i32p, c_i32p, c_i32p,
+            c_u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
     lib.normalize_clip.argtypes = [
         c_u8p, c_f32p, ctypes.c_int64, c_f32p, c_f32p, ctypes.c_int,
     ]
@@ -103,6 +110,43 @@ def crop_resize_normalize_clip(
         int(hflip), num_threads,
     )
     return out
+
+
+def crop_resize_clip_u8(
+    clip: np.ndarray,
+    tops: np.ndarray,
+    lefts: np.ndarray,
+    chs: np.ndarray,
+    cws: np.ndarray,
+    out_size: int,
+    hflip: bool = False,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """clip [T, H, W, 3] uint8 -> [T, S, S, 3] uint8 (crop+resize only;
+    normalization deferred to the device — see `VideoTransform
+    (normalize_on_device)`)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "crop_resize_u8_clip"), \
+        "native lib missing crop_resize_u8_clip (rebuild: native/build.sh)"
+    clip = np.ascontiguousarray(clip)
+    T, H, W, C = clip.shape
+    assert C == 3
+    out = np.empty((T, out_size, out_size, 3), np.uint8)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    tops, lefts, chs, cws = i32(tops), i32(lefts), i32(chs), i32(cws)
+    lib.crop_resize_u8_clip(
+        _ptr(clip, ctypes.c_uint8), T, H, W,
+        _ptr(tops, ctypes.c_int), _ptr(lefts, ctypes.c_int),
+        _ptr(chs, ctypes.c_int), _ptr(cws, ctypes.c_int),
+        _ptr(out, ctypes.c_uint8), out_size, out_size,
+        int(hflip), num_threads,
+    )
+    return out
+
+
+def supports_u8() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "crop_resize_u8_clip")
 
 
 # -- native video decoder (`native/video_decode.cpp`, libav*) ---------------

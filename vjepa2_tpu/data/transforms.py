@@ -132,6 +132,14 @@ class VideoTransform:
     horizontal_flip: bool = False
     motion_shift: bool = False
     normalize: bool = True
+    # Deferred normalization: emit uint8 [T, S, S, 3] (crop/resize/flip only)
+    # and let the jit step run (x/255 - mean)/std on the DEVICE, where XLA
+    # fuses it into the patch-embed matmul. Clips then stay 1 byte/px through
+    # collate, worker IPC, and H2D — 4x less host memory traffic than
+    # float32 (the loader host is memory-bound: ~3 GB/s/core on CI boxes).
+    # Rounding resize output to uint8 matches the reference's torchvision
+    # uint8 resize; deviation vs the float path is < 1/255 per channel.
+    normalize_on_device: bool = False
     mean: np.ndarray = None
     std: np.ndarray = None
     use_native: Optional[bool] = None
@@ -148,7 +156,10 @@ class VideoTransform:
         if self.use_native is None:
             from vjepa2_tpu.data import native
 
-            self.use_native = self.normalize and native.available()
+            if self.normalize_on_device:
+                self.use_native = native.supports_u8()
+            else:
+                self.use_native = self.normalize and native.available()
         self._rand_augment = None
         self._rand_erase = None
         if self.auto_augment:
@@ -164,6 +175,11 @@ class VideoTransform:
         from vjepa2_tpu.data import native
 
         tops, lefts, hs, ws = boxes
+        if self.normalize_on_device:
+            return native.crop_resize_clip_u8(
+                clip, tops, lefts, hs, ws, self.crop_size,
+                hflip=hflip, num_threads=self.native_threads,
+            )
         return native.crop_resize_normalize_clip(
             clip, tops, lefts, hs, ws, self.crop_size, self.mean, self.std,
             hflip=hflip, num_threads=self.native_threads,
@@ -224,10 +240,13 @@ class VideoTransform:
         if flip:
             out = out[:, :, ::-1]
 
-        out = out.astype(np.float32) / 255.0
-        if self.normalize:
-            out = (out - self.mean) / self.std
-        out = np.ascontiguousarray(out)
+        if self.normalize_on_device:
+            out = np.ascontiguousarray(out)  # stays uint8; device normalizes
+        else:
+            out = out.astype(np.float32) / 255.0
+            if self.normalize:
+                out = (out - self.mean) / self.std
+            out = np.ascontiguousarray(out)
         if self._rand_erase is not None:
             out = self._rand_erase(out, rng=rng)
         return out

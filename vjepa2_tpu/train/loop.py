@@ -198,6 +198,7 @@ class Pretrainer:
             motion_shift=aug.motion_shift,
             auto_augment=aug.auto_augment,
             rand_erase_prob=aug.reprob,
+            normalize_on_device=c.data.normalize_on_device,
         )
         _, loader, _ = init_video_data(
             data_paths=c.data.datasets,
@@ -258,10 +259,18 @@ class Pretrainer:
                 for mi in range(len(self.cfg.mask))
             ]
             self._step_fns[fpc] = jit_train_step(
-                make_train_step(self.encoder, self.predictor, self.tx, self.hp, mask_indices),
+                make_train_step(self.encoder, self.predictor, self.tx, self.hp, mask_indices,
+                                norm_stats=self._norm_stats()),
                 self.mesh,
             )
         return self._step_fns[fpc]
+
+    def _norm_stats(self):
+        if not self.cfg.data.normalize_on_device:
+            return None
+        from vjepa2_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        return (IMAGENET_MEAN, IMAGENET_STD)
 
     @property
     def multifpc(self) -> bool:
@@ -277,7 +286,7 @@ class Pretrainer:
             self._step_fns["multifpc"] = jit_train_step(
                 make_multifpc_train_step(
                     self.encoder, self.predictor, self.tx, self.hp,
-                    len(self.cfg.mask),
+                    len(self.cfg.mask), norm_stats=self._norm_stats(),
                 ),
                 self.mesh,
             )
@@ -328,7 +337,9 @@ class Pretrainer:
                 # host work per batch: collate dtype cast + mask sampling;
                 # device_prefetch transfers while the previous step runs
                 clips_list, _labels, _ci = batch
-                clips = np.asarray(clips_list[0], _np_dtype)
+                clips = np.asarray(clips_list[0])
+                if clips.dtype != np.uint8:  # uint8 stays: device normalizes
+                    clips = clips.astype(_np_dtype)
                 fpc = clips.shape[1]
                 self.collator.step()
                 me, mp = self.collator(fpc, clips.shape[0])
@@ -341,7 +352,9 @@ class Pretrainer:
                 self.collator.step()
                 out_c, out_me, out_mp = [], [], []
                 for batch in group:
-                    clips = np.asarray(batch[0][0], _np_dtype)
+                    clips = np.asarray(batch[0][0])
+                    if clips.dtype != np.uint8:
+                        clips = clips.astype(_np_dtype)
                     me, mp = self.collator(clips.shape[1], clips.shape[0])
                     out_c.append(clips)
                     out_me.append(tuple(me))

@@ -165,14 +165,34 @@ def jepa_loss(z_list, h_list, loss_exp: float) -> jnp.ndarray:
     return loss / len(z_list)
 
 
-def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: Sequence[int] | None = None):
+def _device_normalize(clips, encoder, norm_stats):
+    """uint8 clips -> normalized compute-dtype clips, ON DEVICE.
+
+    The deferred-normalization pipeline (`VideoTransform(normalize_on_device)`)
+    ships 1 byte/px over collate/IPC/H2D; the (x/255 - mean)/std runs here in
+    fp32 and XLA fuses it into the patch-embed matmul prologue. Numerics match
+    the host path (same fp32 formula, same final cast to the compute dtype)."""
+    if clips.dtype != jnp.uint8:
+        return clips
+    assert norm_stats is not None, "uint8 clips need norm_stats=(mean, std)"
+    mean = jnp.asarray(norm_stats[0], jnp.float32)
+    std = jnp.asarray(norm_stats[1], jnp.float32)
+    x = clips.astype(jnp.float32) * (1.0 / 255.0)
+    dtype = getattr(encoder, "dtype", jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
+def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: Sequence[int] | None = None,
+                    norm_stats=None):
     """Build the jitted train step.
 
     batch: clips [B, T, H, W, C]; masks_enc/masks_pred: tuples (one per mask
     config) of [B, K] int32 index arrays (static K per config).
+    norm_stats: (mean, std) for uint8 clips (deferred device normalization).
     """
 
     def train_step(state: TrainState, clips, masks_enc, masks_pred):
+        clips = _device_normalize(clips, encoder, norm_stats)
         momentum = ema_momentum(
             state.step, ema_start=hp.ema[0], ema_end=hp.ema[1], t_max=hp.total_steps
         )
@@ -215,7 +235,7 @@ def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: S
 
 
 def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
-                             num_mask_cfgs: int):
+                             num_mask_cfgs: int, norm_stats=None):
     """Reference within-step multi-fpc semantics (`app/vjepa/train.py:425-435`,
     `src/masks/multiseq_multiblock3d.py:63-74`): ONE optimizer step averages
     the JEPA loss over every (fpc-bucket x mask-config) pair and applies ONE
@@ -231,6 +251,8 @@ def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
     """
 
     def train_step(state: TrainState, clips_tup, masks_enc_tup, masks_pred_tup):
+        clips_tup = tuple(_device_normalize(c, encoder, norm_stats)
+                          for c in clips_tup)
         momentum = ema_momentum(
             state.step, ema_start=hp.ema[0], ema_end=hp.ema[1], t_max=hp.total_steps
         )
