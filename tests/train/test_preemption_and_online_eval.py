@@ -136,3 +136,37 @@ def test_online_eval_runs_image_family(cfg, tmp_path):
     csv_path = os.path.join(cfg.folder, "eval_log_r0.csv")
     lines = open(csv_path).read().strip().splitlines()
     assert any("online-in1k-smoke" in ln for ln in lines[1:])
+
+
+ANT_EVAL_CFG = """
+eval_name: action_anticipation_frozen
+tag: online-ek100-smoke
+experiment:
+  classifier: {num_heads: 2}
+  data: {num_verbs: 3, num_nouns: 4, num_actions: 5}
+  optimization:
+    batch_size: 2
+    recall_k: 2
+    multihead_kwargs:
+    - {lr: 0.01, start_lr: 0.01, final_lr: 0.0, weight_decay: 0.001, warmup: 0.0}
+model_kwargs: {module_name: null}
+"""
+
+
+def test_online_eval_runs_anticipation_family(cfg, tmp_path):
+    """The third eval family runs inline too: the anticipation probe uses the
+    LIVE pretrain predictor for the anticipative AR rollout and logs a
+    recall@k (the reference schedules this as a separate cluster job)."""
+    eval_yaml = tmp_path / "online_ek100.yaml"
+    eval_yaml.write_text(ANT_EVAL_CFG)
+    cfg.evals = [str(eval_yaml)]
+    t = Pretrainer(cfg, synthetic_data=True)
+    assert t.online_eval is not None
+    out = t.run(epochs=1)
+    assert np.isfinite(out["loss"])
+    csv_path = os.path.join(cfg.folder, "eval_log_r0.csv")
+    lines = open(csv_path).read().strip().splitlines()
+    row = [ln for ln in lines[1:] if "online-ek100-smoke" in ln]
+    assert row, lines
+    recall = float(row[-1].split(",")[-1])  # mean-class recall@k in percent
+    assert np.isfinite(recall) and 0.0 <= recall <= 100.0

@@ -129,22 +129,121 @@ def make_online_eval(eval_cfg_paths, ipe: int = 20, epochs: int = 1, tag: str = 
             val_loader = synth(max(1, ipe // 4), 1)
         return ev.run(train_loader, val_loader, epochs=epochs)["top1"]
 
+    def _run_anticipation(encoder, target_params, cfg, ctx) -> float:
+        """EK100-style anticipation probe inline. Uses the LIVE pretrain
+        predictor for the anticipative AR rollout (the reference's scheduled
+        eval job loads it from the checkpoint instead). Returns action
+        recall@k. Real EK100 annotations when configured; class-dependent
+        synthetic batches otherwise (CI / smoke)."""
+        import numpy as np
+
+        from vjepa2_tpu.cli.eval import probe_configs_from_multihead
+        from vjepa2_tpu.evals.action_anticipation import AnticipationEval
+
+        predictor = ctx.get("predictor")
+        pred_params = ctx.get("predictor_params")
+        if predictor is None or pred_params is None:
+            logger.info("online anticipation skipped: no live predictor in ctx")
+            return float("nan")
+        exp = cfg["experiment"]
+        data_c = exp["data"]
+        opt_c = exp["optimization"]
+        cls_c = exp.get("classifier", {})
+        batch_size = int(opt_c.get("batch_size", 2))
+        fpc = encoder.num_frames
+        res = encoder.img_size[0]
+        hp = res // encoder.patch_size
+        fps = float(data_c.get("frames_per_second", 4))
+        probes = probe_configs_from_multihead(
+            (opt_c.get("multihead_kwargs") or [{}])[:4], ipe
+        )
+        ann = data_c.get("annotations_train")
+        if ann:
+            from vjepa2_tpu.data.epickitchens import (
+                EpicKitchensAnticipation, anticipation_collate)
+            from vjepa2_tpu.data.loader import DataLoader
+            from vjepa2_tpu.data.samplers import DistributedSampler
+            from vjepa2_tpu.data.transforms import VideoTransform
+            import jax
+
+            train_ds = EpicKitchensAnticipation(
+                ann, frames_per_clip=fpc, transform=VideoTransform(crop_size=res),
+                anticipation_time_range=tuple(
+                    data_c.get("anticipation_time", (1.0, 1.0))),
+            )
+            val_ds = EpicKitchensAnticipation(
+                data_c.get("annotations_val", ann),
+                label_space=train_ds.label_space, frames_per_clip=fpc,
+                transform=VideoTransform(crop_size=res),
+            )
+            nv, nn_, na = (train_ds.num_verbs, train_ds.num_nouns,
+                           train_ds.num_actions)
+            valid_actions = train_ds.valid_action_classes()
+
+            def make(ds, train):
+                sampler = DistributedSampler(
+                    len(ds), jax.process_count(), jax.process_index(),
+                    shuffle=train)
+                return DataLoader(
+                    ds, sampler, batch_size,
+                    num_workers=int(data_c.get("num_workers", 0)),
+                    collate_fn=anticipation_collate,
+                    epoch_len=ipe if train else None)
+
+            train_batches, val_batches = make(train_ds, True), make(val_ds, False)
+        else:
+            nv, nn_, na = (int(data_c.get("num_verbs", 5)),
+                           int(data_c.get("num_nouns", 7)),
+                           int(data_c.get("num_actions", 9)))
+            valid_actions = None
+
+            def synth(batches, seed):
+                r = np.random.default_rng(seed)
+                out = []
+                for _ in range(batches):
+                    labels = r.integers(0, nv, size=batch_size)
+                    clips = r.normal(
+                        size=(batch_size, fpc, res, res, 3)
+                    ).astype(np.float32) * 0.1
+                    clips += labels[:, None, None, None, None] / nv
+                    at = np.ones(batch_size, np.float32)
+                    out.append((clips, at, labels, labels % nn_, labels % na))
+                return out
+
+            train_batches, val_batches = synth(ipe, 0), synth(max(1, ipe // 4), 1)
+        ev = AnticipationEval(
+            encoder, target_params, predictor, pred_params,
+            num_verbs=nv, num_nouns=nn_, num_actions=na,
+            frames_per_second=fps, grid_size=hp, h_patches=hp, w_patches=hp,
+            probe_configs=probes, total_steps=epochs * ipe,
+            num_heads=int(cls_c.get("num_heads", encoder.num_heads)),
+        )
+        for _ in range(epochs):
+            for batch in train_batches:
+                ev.train_batch(*batch)
+        result = ev.evaluate(val_batches, k=int(opt_c.get("recall_k", 5)),
+                             valid_action_classes=valid_actions)
+        return float(result["action"]["recall"])
+
     RUNNERS = {
-        "video_classification_frozen": _run_video,
-        "image_classification_frozen": _run_image,
+        "video_classification_frozen":
+            lambda enc, tp, cfg, ctx: _run_video(enc, tp, cfg),
+        "image_classification_frozen":
+            lambda enc, tp, cfg, ctx: _run_image(enc, tp, cfg),
+        "action_anticipation_frozen": _run_anticipation,
     }
 
-    def online_eval(encoder, target_params, epoch) -> dict:
+    def online_eval(encoder, target_params, epoch, **ctx) -> dict:
         results = {}
         for path, cfg in cfgs:
             name = cfg.get("eval_name", "video_classification_frozen")
             runner = RUNNERS.get(name)
             if runner is None:
                 logger.info(
-                    "online eval: skipping %s (family %r has no inline runner; "
-                    "anticipation needs its EK100 shard stream)", path, name)
+                    "online eval: skipping %s (family %r has no inline runner)",
+                    path, name)
                 continue
-            results[cfg.get("tag", path)] = runner(encoder, target_params, cfg)
+            results[cfg.get("tag", path)] = runner(encoder, target_params, cfg, ctx)
         return results
 
     return online_eval

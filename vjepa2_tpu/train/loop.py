@@ -410,7 +410,11 @@ class Pretrainer:
             ):
                 # online probe eval on the frozen EMA target (the reference
                 # spawns eval jobs at eval_freq, `app/vjepa/utils.py:25-87`)
-                metrics = self.online_eval(self.encoder, state.target_params, epoch)
+                metrics = self.online_eval(
+                    self.encoder, state.target_params, epoch,
+                    predictor=self.predictor,
+                    predictor_params=state.params.get("predictor"),
+                )
                 logger.info("online eval @ epoch %d: %s", epoch, metrics)
                 if eval_csv is None:
                     eval_csv = CSVLogger(
