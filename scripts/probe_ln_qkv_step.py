@@ -72,6 +72,9 @@ def main():
     c = jnp.float32(0.0)
     for fuse in (False, True):
         M.FUSE_LN_QKV = fuse
+        print(f"compiling fuse={fuse} (fresh fused ViT-L programs take "
+              "3-10 min through the tunnel; cached ones seconds)...",
+              flush=True)
         t0 = time.perf_counter()
         c = one(fuse, c) * 1e-30
         float(c)

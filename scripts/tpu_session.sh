@@ -1,0 +1,24 @@
+#!/bin/sh
+# Queued TPU measurements for the next live tunnel session, in priority
+# order (single CPU core: strictly sequential; each stage bounded).
+# Run: nohup sh scripts/tpu_session.sh > /tmp/tpu_session.log 2>&1 &
+set -x
+cd "$(dirname "$0")/.."
+
+# 0. backend sanity (fails fast if the tunnel is still down)
+timeout 300 python -c "import jax; print('devices:', jax.devices())" || exit 1
+
+# 1. LN+QKV fused-prologue step A/B (ROADMAP #1) — the round's top perf item
+timeout 3600 python -u scripts/probe_ln_qkv_step.py
+
+# 2. hardware-gated flash kernel tests (regression check after any wiring)
+timeout 1800 env VJEPA2_TEST_TPU=1 python -m pytest tests/ops/test_flash_tpu.py -q
+
+# 3. driver-format headline (ceiling + ViT-g encode + ViT-L pretrain)
+timeout 2400 python bench.py
+
+# 4. end-to-end real-mp4 pretrain step, float vs uint8-deferred pipelines
+timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12
+timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12 --u8
+
+echo "TPU session complete"
