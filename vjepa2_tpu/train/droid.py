@@ -107,15 +107,21 @@ def encode_frames(encoder, enc_params, clips: jnp.ndarray) -> jnp.ndarray:
     return h.reshape(B, T * h.shape[1], h.shape[2])
 
 
-def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_frame: int):
+def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_frame: int,
+                          norm_stats=None):
     """Build the jitted AC train step.
 
     batch: clips [B, T, H, W, C]; actions [B, T-1, 7]; states [B, T, 7];
     extrinsics [B, T, 6] or None.
+    norm_stats: (mean, std) for uint8 clips (deferred device normalization,
+    `data.normalize_on_device` — same contract as the pretrain step).
     """
     tpf = tokens_per_frame
 
     def train_step(state: TrainState, clips, actions, states, extrinsics=None):
+        from vjepa2_tpu.train.pretrain import _device_normalize
+
+        clips = _device_normalize(clips, encoder, norm_stats)
         h = encode_frames(encoder, state.target_params, clips)
         if hp.normalize_reps:
             h = feature_layernorm(h)

@@ -128,7 +128,8 @@ class DroidTrainer:
             frames_per_clip=self.frames_per_clip,
             frameskip=1,
             fps=c.data.fps,
-            transform=VideoTransform(crop_size=c.data.crop_size),
+            transform=VideoTransform(crop_size=c.data.crop_size,
+                                     normalize_on_device=c.data.normalize_on_device),
             camera_frame=c.data.camera_frame,
             seed=c.meta.seed,
         )
@@ -163,8 +164,14 @@ class DroidTrainer:
         state = shard_state(state, self.mesh)
         if self.ckpt.latest_step() is not None and c.meta.load_checkpoint:
             state = self.ckpt.restore(state)
+        norm_stats = None
+        if c.data.normalize_on_device:
+            from vjepa2_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            norm_stats = (IMAGENET_MEAN, IMAGENET_STD)
         step_fn = jit_droid_train_step(
-            make_droid_train_step(self.encoder, self.predictor, self.tx, self.hp, tpf),
+            make_droid_train_step(self.encoder, self.predictor, self.tx, self.hp, tpf,
+                                  norm_stats=norm_stats),
             self.mesh,
         )
         csv = CSVLogger(
@@ -175,8 +182,11 @@ class DroidTrainer:
 
         def stage(batch):
             clips, actions, states_p, extr = batch
+            clips = np.asarray(clips)
+            if clips.dtype != np.uint8:  # uint8 stays: device normalizes
+                clips = clips.astype(np.float32)
             return (
-                np.asarray(clips, np.float32),
+                clips,
                 np.asarray(actions, np.float32),
                 np.asarray(states_p, np.float32),
                 np.asarray(extr, np.float32) if use_extr else None,
