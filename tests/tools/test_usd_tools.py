@@ -467,3 +467,65 @@ def test_get_prim_paths_chain():
     # (it IS the common ancestor, which the reference pops)
     chain = um.get_prim_paths("/M/a", "/M/a/b/c")
     assert chain == ["/M/a/b", "/M/a/b/c"]
+
+
+def test_joint_chain_matches_reference_formula_two_deep(tmp_path):
+    """Pin the reference's reverse-order chain walk for a body1 TWO levels
+    below the common ancestor: every element before the last is INVERTED
+    (including descent-side intermediates) — the reference's exact formula,
+    reproduced rather than corrected (see _relative_joint_frame note)."""
+    st = _base_stage(tmp_path)
+    st.DefinePrim("/Model/arm/slider/tip", "Xform")
+    U.Xformable(st.GetPrimAtPath("/Model/arm/slider/tip")).AddTranslateOp(
+        (0.0, 0.25, 0.0))
+    st.Save()
+    config = {"prims": {"/Model/arm": {"joint": {
+        "type": "prismatic", "name": "J",
+        "body0": "/Model/arm", "body1": "/Model/arm/slider/tip"}}}}
+    out = tmp_path / "deep.usda"
+    assert um.modify_usd_file_with_config(str(tmp_path / "in.usda"),
+                                          str(out), config)
+    st = U.Stage.Open(str(out))
+    j = st.GetPrimAtPath("/Model/arm/J")
+    pos = np.asarray(j.GetAttribute("physics:localPos0").Get(), dtype=float)
+    # chain = [slider, tip] (body0 popped as the common ancestor):
+    # rel = M_tip @ inv(M_slider)  — the reference's quirk
+    m_sli = U.Xformable(st.GetPrimAtPath("/Model/arm/slider")).GetLocalTransformation()
+    m_tip = U.Xformable(st.GetPrimAtPath("/Model/arm/slider/tip")).GetLocalTransformation()
+    t_exp, _, _ = U.decompose_matrix(m_tip @ np.linalg.inv(m_sli))
+    np.testing.assert_allclose(pos, t_exp, atol=1e-9)
+
+
+def test_material_connections_roundtrip(tmp_path):
+    """Material outputs use the official `.connect` statement syntax and
+    survive write -> parse -> write."""
+    stl = tmp_path / "m.stl"
+    _write_binary_stl(stl, _cube_tris([0, 0, 0], 1.0))
+    out = tmp_path / "m.usda"
+    s2u.step_to_usd(str(stl), str(out))
+    text = open(out).read()
+    assert ("token outputs:mdl:surface.connect = "
+            "</Model/Looks/material_191919/Shader.outputs:out>") in text
+    st = U.Stage.Open(str(out))
+    mat = st.GetPrimAtPath("/Model/Looks/material_191919")
+    a = mat.GetAttribute("outputs:mdl:surface")
+    assert a.connect == "/Model/Looks/material_191919/Shader.outputs:out"
+    # stable second round-trip
+    assert U.parse_usda(st.ExportToString()).ExportToString() == st.ExportToString()
+
+
+def test_attribute_metadata_roundtrip():
+    """Attribute paren-metadata survives parse (not silently dropped)."""
+    text = '''#usda 1.0
+
+def Mesh "m"
+{
+    float weight = 0.5 (documentation = "blend"; hidden = true)
+}
+'''
+    st = U.parse_usda(text)
+    a = st.GetPrimAtPath("/m").GetAttribute("weight")
+    assert a.meta == {"documentation": "blend", "hidden": True}
+    out = st.ExportToString()
+    a2 = U.parse_usda(out).GetPrimAtPath("/m").GetAttribute("weight")
+    assert a2.meta == a.meta

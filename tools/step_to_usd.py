@@ -284,7 +284,7 @@ def create_material(stage, material_path="/Model/Looks/material_191919"):
     shader.CreateAttribute("outputs:out", "token")
     for port in ("surface", "displacement", "volume"):
         a = material.CreateAttribute(f"outputs:mdl:{port}", "token")
-        a.meta["connect"] = f"{material_path}/Shader.outputs:out"
+        a.ConnectToSource(f"{material_path}/Shader.outputs:out")
     return material
 
 

@@ -112,6 +112,10 @@ def get_prim_config(prim_path, config):
 
 
 def should_rotate_x(config):
+    """Reference-parity quirk, kept: the TOP-LEVEL `rotate_x` key is
+    validated and echoed by main() but — exactly as in the reference
+    (`usd_modification.py:202-262` reads only the per-prim key) — never
+    applied; rotation happens through each prim's own `rotate_x` entry."""
     if not config:
         return False
     return config.get("rotate_x", False)
@@ -256,7 +260,17 @@ def get_prim_paths(body0_path, body1_path):
 
 def _relative_joint_frame(stage, body0_path, body1_path):
     """Accumulated relative transform along the body chain (the reference's
-    reverse-order matrix product, `:449-476`); returns (pos[3], quat[4])."""
+    reverse-order matrix product, `:449-476`); returns (pos[3], quat[4]).
+
+    NOTE (reference-parity quirk, kept deliberately): the reference inverts
+    EVERY chain element before the last — including intermediate prims on
+    the DESCENT side toward body1 (`relative_transform *
+    body_prev_matrix.GetInverse()` for all i < last). For chains where
+    body1 sits 2+ levels below the common ancestor this subtracts rather
+    than adds the intermediate offsets; we reproduce the reference's output
+    bit-for-bit rather than "fix" its kinematics (pinned by
+    `test_joint_chain_matches_reference_formula_two_deep`). Configs can
+    always override via local_position_0/local_rotation_0."""
     chain = get_prim_paths(str(body0_path), str(body1_path))
     prims = [stage.GetPrimAtPath(p) for p in chain]
     if not all(p.IsValid() for p in prims):

@@ -138,17 +138,23 @@ _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
 class Attribute:
     """A typed attribute with a default value (no timeSamples)."""
 
-    __slots__ = ("name", "type_name", "value", "uniform", "custom", "meta")
+    __slots__ = ("name", "type_name", "value", "uniform", "custom", "meta",
+                 "connect")
 
     def __init__(self, name: str, type_name: str, value=None,
                  uniform: bool = False, custom: bool = False,
-                 meta: Optional[dict] = None):
+                 meta: Optional[dict] = None, connect: Optional[str] = None):
         self.name = name
         self.type_name = type_name
         self.value = value
         self.uniform = uniform
         self.custom = custom
         self.meta = meta or {}
+        self.connect = connect  # source path for `<name>.connect = <path>`
+
+    def ConnectToSource(self, source_path: str) -> bool:
+        self.connect = str(source_path)
+        return True
 
     def Get(self):
         return self.value
@@ -545,6 +551,10 @@ def write_usda(stage: Stage) -> str:
                                   for k, v in attr.meta.items())
                 decl += f" ({inner})"
             out.append(f"{body_pad}{decl}")
+            if attr.connect:
+                # official connection syntax: `<type> <name>.connect = <path>`
+                out.append(f"{body_pad}{attr.type_name} {attr.name}.connect = "
+                           f"<{attr.connect}>")
         for rel in prim.relationships.values():
             if len(rel.targets) == 1:
                 out.append(f"{body_pad}rel {rel.name} = <{rel.targets[0]}>")
@@ -749,13 +759,33 @@ class _Parser:
             self.next(), self.next()
             type_name += "[]"
         name = self.next()[1]
+        if name.endswith(".connect"):
+            # connection statement: attach to the base attribute
+            attr = prim.CreateAttribute(name[: -len(".connect")], type_name,
+                                        uniform=uniform, custom=custom)
+            if self.peek()[1] == "=":
+                self.next()
+                tgt = self.parse_value()
+                attr.connect = (tgt[0] if isinstance(tgt, list) and tgt
+                                else tgt)
+            return
         attr = prim.CreateAttribute(name, type_name, uniform=uniform,
                                     custom=custom)
         if self.peek()[1] == "=":
             self.next()
             attr.value = self._coerce(type_name, self.parse_value())
         if self.peek()[1] == "(":
-            self._skip_parens()
+            # attribute metadata: parse into attr.meta (round-trip safe)
+            self.next()
+            while self.peek()[1] != ")":
+                kind, key = self.next()
+                if key in ("prepend", "append", "add", "delete"):
+                    kind, key = self.next()
+                self.expect("=")
+                attr.meta[key] = self.parse_value()
+                if self.peek()[1] in (";", ","):
+                    self.next()
+            self.expect(")")
 
     def _skip_parens(self):
         depth = 0
@@ -771,6 +801,12 @@ class _Parser:
     @staticmethod
     def _coerce(type_name: str, value):
         base = type_name.rstrip("[]")
+        if base == "asset":
+            # @path@ tokens parse as Reference; an asset ATTRIBUTE is just
+            # the path string
+            fix = lambda v: v.asset_path if isinstance(v, Reference) else v
+            return ([fix(v) for v in value] if isinstance(value, list)
+                    else fix(value))
         if base in ("float", "double", "half") and not type_name.endswith("[]"):
             return float(value) if not isinstance(value, (tuple, list)) else value
         return value
