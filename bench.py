@@ -356,8 +356,8 @@ def bench_e2e(args):
     transforms -> collator -> H2D prefetch -> jit step, on the REAL loader
     stack (`train/loop.py:Pretrainer.run`), not a synthetic feed. The
     headline is the median steady-state iteration from the trainer's own
-    per-iter CSV (compile excluded); ``e2e_overhead_vs_synthetic`` in extra
-    is the ratio against the synthetic-loader step (`--mode pretrain`).
+    per-iter CSV (compile excluded); compare against the device-only step
+    from `--mode pretrain` to get the loader overhead (same model config).
 
     Reference equivalent: the full `app/vjepa/train.py` hot loop with its
     decord/DataLoader pipeline.
