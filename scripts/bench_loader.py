@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--u8", action="store_true",
+                    help="uint8 deferred-normalize pipeline (device-side "
+                         "normalization; 4x less host memory traffic)")
     args = ap.parse_args()
 
     from vjepa2_tpu.data.manager import init_video_data
@@ -57,7 +60,8 @@ def main():
         csv = make_videos(root, args.clips, args.size, args.frames)
         print(f"generated {args.clips} mp4s in {time.perf_counter()-t0:.1f}s", flush=True)
 
-        transform = VideoTransform(crop_size=args.size)
+        transform = VideoTransform(crop_size=args.size,
+                                   normalize_on_device=args.u8)
         _, loader, _ = init_video_data(
             data_paths=[csv],
             batch_size=args.batch,
@@ -80,7 +84,11 @@ def main():
         n_clips = 0
         t0 = time.perf_counter()
         for i, (clips_list, _labels, _ci) in enumerate(it):
-            clips = np.asarray(clips_list[0], np.float32)
+            # u8 mode ships the batch as-is (the device normalizes); the
+            # float path pays the fp32 materialization the trainer would
+            clips = np.asarray(clips_list[0])
+            if not args.u8:
+                clips = clips.astype(np.float32, copy=False)
             coll.step()
             coll(clips.shape[1], clips.shape[0])
             n_clips += clips.shape[0]
