@@ -143,3 +143,31 @@ def test_pretrainer_end_to_end_u8(tmp_path):
     })
     result = Pretrainer(cfg).run(epochs=1, log_every=1)
     assert np.isfinite(result["loss"])
+
+
+def test_u8_survives_worker_ipc(tmp_path):
+    """uint8 clips stay uint8 through spawn-worker IPC and collate."""
+    import cv2
+
+    from vjepa2_tpu.data.manager import init_video_data
+    from vjepa2_tpu.data.transforms import VideoTransform
+
+    S, T = 64, 4
+    man = tmp_path / "t.csv"
+    with open(man, "w") as f:
+        for i in range(4):
+            p = str(tmp_path / f"v{i}.mp4")
+            w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 30, (S, S))
+            for t in range(T * 4):
+                w.write(np.full((S, S, 3), (10 * i + t) % 255, np.uint8))
+            w.release()
+            f.write(f"{p} 0\n")
+    tf = VideoTransform(crop_size=S, normalize_on_device=True)
+    _, loader, _ = init_video_data(
+        data_paths=[str(man)], batch_size=2, transform=tf,
+        dataset_fpcs=[T], fps=4, num_workers=2, ipe=2)
+    batches = list(loader)
+    assert batches, "loader yielded nothing"
+    clips = np.asarray(batches[0][0][0])
+    assert clips.dtype == np.uint8
+    assert clips.shape == (2, T, S, S, 3)
