@@ -44,7 +44,6 @@ import datetime
 import os
 import shutil
 import subprocess
-import sys
 
 import yaml
 

@@ -15,7 +15,6 @@ Components:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Optional
 
 import flax.linen as nn

@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vjepa2_tpu.ops.attention import attend, sdpa
+from vjepa2_tpu.ops.attention import sdpa
 from vjepa2_tpu.ops.rope import (
     apply_rope_cache,
     build_rope_cache,
