@@ -65,7 +65,7 @@ def _path_str(path: tuple) -> str:
     return "/".join(str(x) for x in parts)
 
 
-def param_spec(path: tuple, value, tp: bool = True) -> P:
+def param_spec(path: tuple, value, tp: bool = True, cp: bool = False) -> P:
     """Sharding rules over the ('fsdp', 'model') axes.
 
     * 'fsdp': ZeRO-3-style parameter sharding — largest dim of >=2D params.
@@ -77,8 +77,16 @@ def param_spec(path: tuple, value, tp: bool = True) -> P:
 
     With mesh model=1 these all degrade to the pure FSDP rule. ``tp=False``
     skips the 'model'-axis rules — used when the model axis carries
-    ring-attention context parallelism (tokens, not tensors) instead.
+    ring-attention context parallelism (tokens, not tensors) instead. In
+    that mode pass ``cp=True`` as well: every rank on the model axis applies
+    identical params to its token shard, so the axis is *data-parallel with
+    respect to parameters* and the ZeRO rule shards over the combined
+    ('fsdp', 'model') axes — param/opt-state memory scales with the full
+    ring, not just the fsdp axis.
     """
+    if tp and cp:
+        raise ValueError("the 'model' axis carries either tensors (tp) or "
+                         "tokens (cp), not both")
     shape = value.shape
     if len(shape) < 2:
         return P()
@@ -94,10 +102,10 @@ def param_spec(path: tuple, value, tp: bool = True) -> P:
             return P("fsdp", "model")
         if row_parallel:
             return P("model", "fsdp")
-    # default FSDP: shard the largest dim
+    # default FSDP: shard the largest dim (over the ring too under CP)
     axis = int(np.argmax(shape))
     spec = [None] * len(shape)
-    spec[axis] = "fsdp"
+    spec[axis] = ("fsdp", "model") if cp else "fsdp"
     return P(*spec)
 
 

@@ -240,7 +240,7 @@ def seq_sharded_attention(mesh, axis_name: str = "model",
     are PADDED onto it (segment-isolated pad keys, outputs sliced) — nothing
     silently replicates.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axis_size = mesh.shape[axis_name]
@@ -251,7 +251,7 @@ def seq_sharded_attention(mesh, axis_name: str = "model",
         shard_map, mesh=mesh,
         in_specs=(tok, tok, tok, seg_spec),
         out_specs=tok,
-        check_rep=False,
+        check_vma=False,
     )
     def _sharded(q, k, v, seg):
         return ring_attention(
@@ -263,7 +263,7 @@ def seq_sharded_attention(mesh, axis_name: str = "model",
         shard_map, mesh=mesh,
         in_specs=(tok, tok, tok),
         out_specs=tok,
-        check_rep=False,
+        check_vma=False,
     )
     def _sharded_nomask(q, k, v):
         return ring_attention(q, k, v, axis_name, axis_size,

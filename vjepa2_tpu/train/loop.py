@@ -241,7 +241,10 @@ class Pretrainer:
             num_params(params["encoder"]) / 1e6,
             num_params(params["predictor"]) / 1e6,
         )
-        return shard_state(state, self.mesh, tp=not self.context_parallel)
+        return shard_state(
+            state, self.mesh,
+            tp=not self.context_parallel, cp=self.context_parallel,
+        )
 
     def restore_or_init(self) -> TrainState:
         state = self.init_state()

@@ -299,16 +299,21 @@ def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
     return train_step
 
 
-def shard_state(state: TrainState, mesh, tp: bool = True) -> TrainState:
+def shard_state(state: TrainState, mesh, tp: bool = True, cp: bool = False) -> TrainState:
     """Place the train state on the mesh per the FSDP/TP param rules.
 
-    ``tp=False`` when the mesh 'model' axis is used for context parallelism
-    (ring attention) rather than tensor parallelism."""
+    ``tp=False, cp=True`` when the mesh 'model' axis is used for context
+    parallelism (ring attention) rather than tensor parallelism: params are
+    then ZeRO-sharded over the combined ('fsdp', 'model') axes — every ring
+    rank applies identical params to its token shard, so the axis is
+    data-parallel w.r.t. parameters and can carry param/opt-state shards."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def place(path, leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 2:
-            return jax.device_put(leaf, NamedSharding(mesh, param_spec(path, leaf, tp=tp)))
+            return jax.device_put(
+                leaf, NamedSharding(mesh, param_spec(path, leaf, tp=tp, cp=cp))
+            )
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(place, state)
