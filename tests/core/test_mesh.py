@@ -44,6 +44,22 @@ def test_param_spec_rules():
     assert "model" not in jax.tree_util.tree_leaves(s)
 
 
+def test_param_spec_cp_rules():
+    """CP mode: the model axis carries tokens, so params ZeRO-shard over the
+    combined ('fsdp','model') axes and the TP matmul rules are off."""
+    from jax.sharding import PartitionSpec as P
+
+    def cp_spec(path_str, shape):
+        path = tuple(_K(p) for p in path_str.split("/"))
+        return param_spec(path, np.zeros(shape), tp=False, cp=True)
+
+    assert cp_spec("blocks_0/attn/qkv/kernel", (64, 192)) == P(None, ("fsdp", "model"))
+    assert cp_spec("blocks_0/mlp/fc1/kernel", (256, 64)) == P(("fsdp", "model"), None)
+    assert cp_spec("norm/scale", (64,)) == P()
+    with pytest.raises(ValueError):
+        param_spec((_K("x"),), np.zeros((4, 4)), tp=True, cp=True)
+
+
 def test_mesh_resolve():
     cfg = MeshConfig(data=-1, fsdp=2, model=2)
     assert cfg.resolve(8) == (2, 2, 2)
