@@ -21,4 +21,8 @@ timeout 2400 python bench.py
 timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12
 timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12 --u8
 
+# 5. fresh device-trace attribution of the pretrain step (ground truth for
+#    the next perf decision: LN bucket, elementwise bucket, copies)
+timeout 1700 python -u scripts/trace_step.py
+
 echo "TPU session complete"
