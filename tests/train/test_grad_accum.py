@@ -1,0 +1,122 @@
+"""Gradient accumulation: N sequential microbatches, ONE optimizer update.
+
+Capability the reference lacks (it scales effective batch by adding nodes,
+`configs/train/vitl16/cooldown-256px-64f.yaml:5-17`): `grad_accum` splits a
+batch into a lax.scan of forward+backward passes whose gradients average
+before a single AdamW+EMA update. In fp32 the composed update must equal the
+full-batch update bit-for-reduction-order: every per-sample computation is
+independent (per-token LayerNorm, per-clip attention), and the loss is a
+mean over equal-size microbatches.
+"""
+
+import unittest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vjepa2_tpu.masks.multiblock3d import MaskCollator
+from vjepa2_tpu.models.predictor import VisionTransformerPredictor
+from vjepa2_tpu.models.vision_transformer import VisionTransformer
+from vjepa2_tpu.train.pretrain import (
+    PretrainHParams,
+    init_params,
+    make_optimizer,
+    make_train_step,
+)
+from vjepa2_tpu.train.state import TrainState
+
+B, T, S = 4, 4, 32  # 4 clips, 2x2x2=8 tokens each
+
+
+def _models():
+    enc = VisionTransformer(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=32, depth=1, num_heads=2, use_rope=True, dtype=jnp.float32,
+    )
+    pred = VisionTransformerPredictor(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=32, predictor_embed_dim=32, depth=1, num_heads=2,
+        use_mask_tokens=True, num_mask_tokens=1, use_rope=True,
+        dtype=jnp.float32,
+    )
+    return enc, pred
+
+
+def _setup():
+    enc, pred = _models()
+    cfgs = [{"spatial_scale": (0.6, 0.6), "temporal_scale": (1.0, 1.0),
+             "aspect_ratio": (1.0, 1.0), "num_blocks": 1}]
+    coll = MaskCollator(cfgs, dataset_fpcs=[T], crop_size=(S, S))
+    coll.step()
+    me, mp = coll(T, B)
+    hp = PretrainHParams(epochs=1, ipe=4, warmup_epochs=0)
+    tx = make_optimizer(hp)
+    params, target = init_params(
+        enc, pred, 0, (B, T, S, S, 3), jnp.asarray(me[0]), jnp.asarray(mp[0])
+    )
+    clips = jnp.asarray(np.random.RandomState(1).rand(B, T, S, S, 3), jnp.float32)
+    me = tuple(jnp.asarray(m) for m in me)
+    mp = tuple(jnp.asarray(m) for m in mp)
+    return enc, pred, tx, hp, params, target, clips, me, mp
+
+
+class TestGradAccum(unittest.TestCase):
+    def test_accum2_matches_fullbatch_update(self):
+        enc, pred, tx, hp, params, target, clips, me, mp = _setup()
+
+        state1 = TrainState.create(params, target, tx)
+        step1 = jax.jit(make_train_step(enc, pred, tx, hp))
+        new1, m1 = step1(state1, clips, me, mp)
+
+        state2 = TrainState.create(params, target, tx)
+        step2 = jax.jit(make_train_step(enc, pred, tx, hp, grad_accum=2))
+        a, b = 2, B // 2
+        clips2 = clips.reshape(a, b, T, S, S, 3)
+        me2 = tuple(m.reshape(a, b, -1) for m in me)
+        mp2 = tuple(m.reshape(a, b, -1) for m in mp)
+        new2, m2 = step2(state2, clips2, me2, mp2)
+
+        self.assertAlmostEqual(float(m1["loss"]), float(m2["loss"]), places=5)
+        np.testing.assert_allclose(
+            float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5)
+        # params: fp32 reduction-order noise (~1e-7 rel on grads) is amplified
+        # by Adam's per-param normalization at step 1 where v_hat ~ 0, so the
+        # composed update matches to ~1e-5 absolute, not bitwise (measured
+        # max diff 4.4e-6 on the patch-embed kernel)
+        for k in ("encoder", "predictor"):
+            l1 = jax.tree_util.tree_leaves(new1.params[k])
+            l2 = jax.tree_util.tree_leaves(new2.params[k])
+            for x, y in zip(l1, l2):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=1e-5, rtol=0)
+        # EMA target advanced identically
+        t1 = jax.tree_util.tree_leaves(new1.target_params)
+        t2 = jax.tree_util.tree_leaves(new2.target_params)
+        for x, y in zip(t1, t2):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-5, rtol=0)
+
+    def test_trainer_plumbing_synthetic(self):
+        """YAML grad_accum -> Pretrainer stage reshape -> scan step runs."""
+        from vjepa2_tpu.core.config import load_config
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from vjepa2_tpu.train.loop import Pretrainer
+
+        cfg = load_config(os.path.join(repo, "configs", "train", "smoke-tiny.yaml"))
+        cfg.folder = "/tmp/vjepa2_tpu_grad_accum_smoke"
+        cfg.optimization.grad_accum = 2
+        assert cfg.data.batch_size % 2 == 0
+        # microbatch (bs/2 = 2) must divide the data-parallel mesh: use 2
+        # of the 8 virtual devices
+        cfg.mesh.data = 2
+        trainer = Pretrainer(cfg, synthetic_data=True)
+        result = trainer.run(epochs=1, log_every=2)
+        self.assertTrue(np.isfinite(result["loss"]))
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -112,6 +112,9 @@ class OptimizationConfig:
     # (`app/vjepa/train.py:425-435`); off = one fpc bucket per step
     # (alternating), the jit-friendly default
     multifpc_within_step: bool = False
+    # split each batch into N sequential microbatches per optimizer step
+    # (gradients averaged before ONE update); batch_size must divide evenly
+    grad_accum: int = 1
     # droid extras
     anneal: Optional[float] = None
     enc_lr_scale: float = 1.0

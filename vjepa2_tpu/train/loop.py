@@ -157,6 +157,23 @@ class Pretrainer:
         )
         self.tx = make_optimizer(self.hp)
 
+        self.grad_accum = max(1, int(o.grad_accum))
+        if self.grad_accum > 1:
+            assert c.data.batch_size % self.grad_accum == 0, (
+                f"batch_size {c.data.batch_size} not divisible by "
+                f"grad_accum {self.grad_accum}"
+            )
+            dp = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+            assert (c.data.batch_size // self.grad_accum) % dp == 0, (
+                f"microbatch {c.data.batch_size // self.grad_accum} not "
+                f"divisible by the data-parallel mesh ({dp} ways)"
+            )
+            assert not o.multifpc_within_step, (
+                "grad_accum composes with the per-fpc-bucket step, not the "
+                "within-step multi-fpc program (each bucket is already a "
+                "separate backward there)"
+            )
+
         self.collator = MaskCollator(
             c.mask,
             dataset_fpcs=self.fpcs,
@@ -261,10 +278,11 @@ class Pretrainer:
                 for fi in [self.fpcs.index(fpc)]
                 for mi in range(len(self.cfg.mask))
             ]
+            ga = self.grad_accum
             self._step_fns[fpc] = jit_train_step(
                 make_train_step(self.encoder, self.predictor, self.tx, self.hp, mask_indices,
-                                norm_stats=self._norm_stats()),
-                self.mesh,
+                                norm_stats=self._norm_stats(), grad_accum=ga),
+                self.mesh, grad_accum=ga,
             )
         return self._step_fns[fpc]
 
@@ -346,6 +364,16 @@ class Pretrainer:
                 fpc = clips.shape[1]
                 self.collator.step()
                 me, mp = self.collator(fpc, clips.shape[0])
+                if self.grad_accum > 1:
+                    # [A*B, ...] -> [A, B, ...]: masks sampled over the FULL
+                    # batch (batch-min truncation statistics unchanged), then
+                    # split into the scan's microbatches
+                    a = self.grad_accum
+                    b = clips.shape[0] // a
+                    clips = clips.reshape(a, b, *clips.shape[1:])
+                    me = tuple(np.asarray(m).reshape(a, b, -1) for m in me)
+                    mp = tuple(np.asarray(m).reshape(a, b, -1) for m in mp)
+                    return clips, me, mp
                 return clips, tuple(me), tuple(mp)
 
             def stage_group(group):
@@ -385,7 +413,7 @@ class Pretrainer:
                 if self.multifpc:
                     step_fn = self._multifpc_step_fn()
                 else:
-                    step_fn = self._step_fn(clips.shape[1])
+                    step_fn = self._step_fn(clips.shape[-4])  # T in [(A,) B, T, H, W, C]
                 state, metrics = step_fn(state, clips, masks_enc, masks_pred)
                 pending.append((itr, metrics))
                 if itr % log_every == 0 or len(pending) >= log_every:

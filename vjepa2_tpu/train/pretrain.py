@@ -183,22 +183,25 @@ def _device_normalize(clips, encoder, norm_stats):
 
 
 def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: Sequence[int] | None = None,
-                    norm_stats=None):
+                    norm_stats=None, grad_accum: int = 1):
     """Build the jitted train step.
 
     batch: clips [B, T, H, W, C]; masks_enc/masks_pred: tuples (one per mask
     config) of [B, K] int32 index arrays (static K per config).
     norm_stats: (mean, std) for uint8 clips (deferred device normalization).
+
+    ``grad_accum > 1``: inputs carry a leading microbatch dim ([A, B, ...] /
+    [A, B, K]); a ``lax.scan`` runs A forward+backward passes (activations
+    freed between them), averages the gradients, and applies ONE optimizer
+    update — cooldown-scale effective batches on one chip, where the
+    reference scales nodes instead (`cooldown-256px-64f.yaml:5-17`).
     """
 
-    def train_step(state: TrainState, clips, masks_enc, masks_pred):
+    def loss_and_grads(params, target_params, clips, masks_enc, masks_pred):
         clips = _device_normalize(clips, encoder, norm_stats)
-        momentum = ema_momentum(
-            state.step, ema_start=hp.ema[0], ema_end=hp.ema[1], t_max=hp.total_steps
-        )
 
         # -- target features: full clip, stop-gradient, feature-wise layernorm
-        h_all = encoder.apply({"params": state.target_params}, clips)
+        h_all = encoder.apply({"params": target_params}, clips)
         h_all = h_all.astype(jnp.float32)
         h_all = (h_all - h_all.mean(-1, keepdims=True)) / jnp.sqrt(
             h_all.var(-1, keepdims=True) + 1e-6
@@ -217,7 +220,36 @@ def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: S
                 z_list.append(z)
             return jepa_loss(z_list, h_list, hp.loss_exp)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return jax.value_and_grad(loss_fn)(params)
+
+    def train_step(state: TrainState, clips, masks_enc, masks_pred):
+        momentum = ema_momentum(
+            state.step, ema_start=hp.ema[0], ema_end=hp.ema[1], t_max=hp.total_steps
+        )
+
+        if grad_accum == 1:
+            loss, grads = loss_and_grads(
+                state.params, state.target_params, clips, masks_enc, masks_pred
+            )
+        else:
+            def body(carry, xs):
+                gsum, lsum = carry
+                c, me, mp = xs
+                loss_i, g = loss_and_grads(
+                    state.params, state.target_params, c, me, mp
+                )
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (gsum, lsum + loss_i), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, lsum), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)),
+                (clips, masks_enc, masks_pred),
+            )
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            loss = lsum * inv
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         target = ema_update(state.target_params, params["encoder"], momentum)
@@ -319,12 +351,14 @@ def shard_state(state: TrainState, mesh, tp: bool = True, cp: bool = False) -> T
     return jax.tree_util.tree_map_with_path(place, state)
 
 
-def jit_train_step(train_step, mesh):
+def jit_train_step(train_step, mesh, grad_accum: int = 1):
     """jit with batch sharded over (data, fsdp); state shardings propagate
-    from the (already placed) input state."""
-    from jax.sharding import NamedSharding
+    from the (already placed) input state. With ``grad_accum > 1`` the
+    microbatch dim leads and the batch dim (sharded) is second."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    data_sh = NamedSharding(mesh, batch_spec())
+    spec = batch_spec() if grad_accum == 1 else P(None, ("data", "fsdp"))
+    data_sh = NamedSharding(mesh, spec)
     return jax.jit(
         train_step,
         in_shardings=(None, data_sh, data_sh, data_sh),
