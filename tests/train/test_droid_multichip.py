@@ -65,3 +65,37 @@ def test_droid_step_sharded_matches_single_device():
     # params actually sharded over the mesh (not replicated-on-one-device)
     qkv = state8.params["predictor"]["predictor_blocks_0"]["attn"]["qkv"]["kernel"]
     assert len(qkv.sharding.device_set) > 1, qkv.sharding
+
+
+def test_droid_grad_accum_matches_fullbatch():
+    """grad_accum=2 on the AC step: same loss and update as the full batch
+    (same contract as `tests/train/test_grad_accum.py` for pretraining)."""
+    B, T, S = 4, 4, 32
+    rs = np.random.RandomState(1)
+    clips = jnp.asarray(rs.rand(B, T, S, S, 3), jnp.float32)
+    actions = jnp.asarray(rs.rand(B, T - 1, 7) * 0.1, jnp.float32)
+    states = jnp.asarray(rs.rand(B, T, 7), jnp.float32)
+
+    encoder, predictor, tx, hp, state1, tpf = _setup(B, T, S)
+    step1 = jax.jit(make_droid_train_step(encoder, predictor, tx, hp, tpf))
+    new1, m1 = step1(state1, clips, actions, states)
+
+    encoder, predictor, tx, hp, state2, tpf = _setup(B, T, S)
+    step2 = jax.jit(make_droid_train_step(encoder, predictor, tx, hp, tpf,
+                                          grad_accum=2))
+    a, b = 2, B // 2
+    new2, m2 = step2(
+        state2,
+        clips.reshape(a, b, T, S, S, 3),
+        actions.reshape(a, b, T - 1, 7),
+        states.reshape(a, b, T, 7),
+        None,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5)
+    # atol: Adam's per-param normalization at step 1 amplifies fp32
+    # reduction-order noise (see tests/train/test_grad_accum.py)
+    for x, y in zip(jax.tree_util.tree_leaves(new1.params["predictor"]),
+                    jax.tree_util.tree_leaves(new2.params["predictor"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=3e-5, rtol=0)

@@ -108,21 +108,24 @@ def encode_frames(encoder, enc_params, clips: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_frame: int,
-                          norm_stats=None):
+                          norm_stats=None, grad_accum: int = 1):
     """Build the jitted AC train step.
 
     batch: clips [B, T, H, W, C]; actions [B, T-1, 7]; states [B, T, 7];
     extrinsics [B, T, 6] or None.
     norm_stats: (mean, std) for uint8 clips (deferred device normalization,
     `data.normalize_on_device` — same contract as the pretrain step).
+    ``grad_accum > 1``: leading microbatch dim on every batch input; a
+    lax.scan averages the gradients before ONE update (same contract as
+    `pretrain.make_train_step`).
     """
     tpf = tokens_per_frame
 
-    def train_step(state: TrainState, clips, actions, states, extrinsics=None):
+    def loss_and_grads(params, target_params, clips, actions, states, extrinsics):
         from vjepa2_tpu.train.pretrain import _device_normalize
 
         clips = _device_normalize(clips, encoder, norm_stats)
-        h = encode_frames(encoder, state.target_params, clips)
+        h = encode_frames(encoder, target_params, clips)
         if hp.normalize_reps:
             h = feature_layernorm(h)
         h = jax.lax.stop_gradient(h)
@@ -162,7 +165,32 @@ def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_f
             sloss = l1(z_ar)
             return jloss + sloss, (jloss, sloss)
 
-        (loss, (jloss, sloss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, clips, actions, states, extrinsics=None):
+        if grad_accum == 1:
+            (loss, (jloss, sloss)), grads = loss_and_grads(
+                state.params, state.target_params, clips, actions, states, extrinsics
+            )
+        else:
+            def body(carry, xs):
+                gsum, lsum = carry
+                c, a, s, e = xs
+                (l_i, (j_i, s_i)), g = loss_and_grads(
+                    state.params, state.target_params, c, a, s, e
+                )
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (gsum, (lsum[0] + l_i, lsum[1] + j_i, lsum[2] + s_i)), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            z0 = jnp.zeros((), jnp.float32)
+            (gsum, lsum), _ = jax.lax.scan(
+                body, (zeros, (z0, z0, z0)), (clips, actions, states, extrinsics)
+            )
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            loss, jloss, sloss = (x * inv for x in lsum)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
@@ -176,16 +204,18 @@ def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_f
     return train_step
 
 
-def jit_droid_train_step(train_step, mesh):
+def jit_droid_train_step(train_step, mesh, grad_accum: int = 1):
     """jit with the batch (clips/actions/states/extrinsics) sharded over the
     (data, fsdp) axes; state shardings propagate from the placed input state
     (same scheme as `pretrain.jit_train_step`). The reference runs this stage
-    data-parallel via DDP (`app/vjepa_droid/train.py:274-276`)."""
-    from jax.sharding import NamedSharding
+    data-parallel via DDP (`app/vjepa_droid/train.py:274-276`). With
+    ``grad_accum > 1`` the microbatch dim leads and the batch dim is second."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from vjepa2_tpu.core.mesh import batch_spec
 
-    data_sh = NamedSharding(mesh, batch_spec())
+    spec = batch_spec() if grad_accum == 1 else P(None, ("data", "fsdp"))
+    data_sh = NamedSharding(mesh, spec)
     return jax.jit(
         train_step,
         in_shardings=(None, data_sh, data_sh, data_sh, data_sh),

@@ -107,6 +107,12 @@ class DroidTrainer:
             enc_lr_scale=o.enc_lr_scale,
         )
         self.ipe = ipe
+        self.grad_accum = max(1, int(o.grad_accum))
+        if self.grad_accum > 1:
+            assert c.data.batch_size % self.grad_accum == 0, (
+                f"batch_size {c.data.batch_size} not divisible by "
+                f"grad_accum {self.grad_accum}"
+            )
         self.tx = None  # built in run() once the param-tree shape is known
         os.makedirs(c.folder, exist_ok=True)
         keep_period = c.meta.save_every_freq * ipe if c.meta.save_every_freq else None
@@ -171,8 +177,8 @@ class DroidTrainer:
             norm_stats = (IMAGENET_MEAN, IMAGENET_STD)
         step_fn = jit_droid_train_step(
             make_droid_train_step(self.encoder, self.predictor, self.tx, self.hp, tpf,
-                                  norm_stats=norm_stats),
-            self.mesh,
+                                  norm_stats=norm_stats, grad_accum=self.grad_accum),
+            self.mesh, grad_accum=self.grad_accum,
         )
         csv = CSVLogger(
             os.path.join(c.folder, f"droid_log_r{jax.process_index()}.csv"),
@@ -185,12 +191,19 @@ class DroidTrainer:
             clips = np.asarray(clips)
             if clips.dtype != np.uint8:  # uint8 stays: device normalizes
                 clips = clips.astype(np.float32)
-            return (
+            out = (
                 clips,
                 np.asarray(actions, np.float32),
                 np.asarray(states_p, np.float32),
                 np.asarray(extr, np.float32) if use_extr else None,
             )
+            if self.grad_accum > 1:
+                a = self.grad_accum
+                out = tuple(
+                    None if x is None else x.reshape(a, x.shape[0] // a, *x.shape[1:])
+                    for x in out
+                )
+            return out
 
         last = float("nan")
         start_epoch = int(state.step) // self.ipe
