@@ -25,4 +25,8 @@ timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12 -
 #    the next perf decision: LN bucket, elementwise bucket, copies)
 timeout 1700 python -u scripts/trace_step.py
 
+# 6. AC + CEM MFU accounting (VERDICT r2 #6: numbers land in ROADMAP)
+timeout 1800 python bench.py --mode ac
+timeout 1200 python bench.py --mode cem
+
 echo "TPU session complete"
