@@ -67,6 +67,39 @@ def test_mesh_resolve():
         MeshConfig(data=3, fsdp=2, model=2).resolve(8)
 
 
+def test_arrange_hybrid_groups_slices():
+    """Multi-slice pods: same-slice devices contiguous, slice on the slowest
+    axis, so fsdp/model collectives ride ICI and only 'data' crosses DCN."""
+    from vjepa2_tpu.core.mesh import arrange_hybrid
+
+    class FakeDev:
+        def __init__(self, id, slice_index):
+            self.id = id
+            self.slice_index = slice_index
+
+        def __repr__(self):
+            return f"d{self.id}s{self.slice_index}"
+
+    # interleaved arrival order (process-major), 2 slices x 4 chips
+    devs = [FakeDev(i, i % 2) for i in range(8)]
+    out = arrange_hybrid(devs)
+    assert [d.slice_index for d in out] == [0] * 4 + [1] * 4
+    # stable within a slice by id
+    assert [d.id for d in out] == [0, 2, 4, 6, 1, 3, 5, 7]
+    # a 4x2x1 mesh then puts the slice boundary between data rows 1 and 2:
+    # every (fsdp, model) row is intra-slice
+    rows = np.asarray(out).reshape(4, 2, 1)
+    for r in range(4):
+        assert len({d.slice_index for d in rows[r].flat}) == 1
+    # CPU / single-slice devices (no slice_index) keep their order
+    class Plain:
+        def __init__(self, id):
+            self.id = id
+
+    plain = [Plain(i) for i in range(4)]
+    assert [d.id for d in arrange_hybrid(plain)] == [0, 1, 2, 3]
+
+
 def test_train_step_with_tensor_parallel():
     """Full pretrain step over a data=2 x fsdp=2 x model=2 mesh."""
     B, T, S = 4, 4, 32

@@ -42,8 +42,33 @@ class MeshConfig:
         return d, f, m
 
 
+def arrange_hybrid(devices) -> list:
+    """Order devices so same-slice devices are contiguous (multi-slice pods).
+
+    On a multi-slice deployment the slices connect over DCN (slow) while
+    chips within a slice ride ICI (fast). The mesh's LAST axes map to the
+    fastest-varying device positions, so slice membership must vary slowest:
+    all of slice 0, then all of slice 1, ... That way 'fsdp'/'model'
+    collectives (all-gather, ppermute) stay intra-slice on ICI and only the
+    'data'-axis gradient all-reduce crosses DCN — which GSPMD lowers
+    hierarchically (reduce inside each slice, then across). Single-slice
+    (or CPU) devices have no ``slice_index`` and keep their given order;
+    the sort is stable either way.
+    """
+    return sorted(devices, key=lambda dv: (getattr(dv, "slice_index", 0) or 0,
+                                           getattr(dv, "id", 0)))
+
+
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    """Build the ('data','fsdp','model') mesh.
+
+    Multi-slice: devices group by slice on the slowest ('data') axis via
+    `arrange_hybrid`, keeping fsdp/model collectives on ICI. For the layout
+    to be DCN-clean, devices-per-slice must be divisible by fsdp*model (a
+    slice boundary then always falls between 'data' rows).
+    """
     devices = devices if devices is not None else jax.devices()
+    devices = arrange_hybrid(devices)
     d, f, m = cfg.resolve(len(devices))
     dev_array = np.asarray(devices[: d * f * m]).reshape(d, f, m)
     return Mesh(dev_array, axis_names=("data", "fsdp", "model"))
