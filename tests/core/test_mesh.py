@@ -91,13 +91,20 @@ def test_arrange_hybrid_groups_slices():
     rows = np.asarray(out).reshape(4, 2, 1)
     for r in range(4):
         assert len({d.slice_index for d in rows[r].flat}) == 1
-    # CPU / single-slice devices (no slice_index) keep their order
+    # CPU / single-slice devices (no slice_index) keep their GIVEN order —
+    # an explicit caller-chosen layout is never re-sorted
     class Plain:
         def __init__(self, id):
             self.id = id
 
-    plain = [Plain(i) for i in range(4)]
-    assert [d.id for d in arrange_hybrid(plain)] == [0, 1, 2, 3]
+    plain = [Plain(i) for i in (2, 3, 0, 1)]
+    assert [d.id for d in arrange_hybrid(plain)] == [2, 3, 0, 1]
+    # devices-per-slice must divide fsdp*model, else fsdp/model collectives
+    # would cross DCN every layer: make_mesh rejects the layout
+    from vjepa2_tpu.core.mesh import make_mesh
+
+    with pytest.raises(AssertionError, match="cross DCN"):
+        make_mesh(MeshConfig(data=-1, fsdp=8, model=1), devices=devs)
 
 
 def test_train_step_with_tensor_parallel():

@@ -51,10 +51,13 @@ def arrange_hybrid(devices) -> list:
     all of slice 0, then all of slice 1, ... That way 'fsdp'/'model'
     collectives (all-gather, ppermute) stay intra-slice on ICI and only the
     'data'-axis gradient all-reduce crosses DCN — which GSPMD lowers
-    hierarchically (reduce inside each slice, then across). Single-slice
-    (or CPU) devices have no ``slice_index`` and keep their given order;
-    the sort is stable either way.
+    hierarchically (reduce inside each slice, then across). With a single
+    slice (or CPU devices, which have no ``slice_index``) the given order is
+    returned untouched — an explicit caller-chosen layout is preserved.
     """
+    slices = {getattr(dv, "slice_index", 0) or 0 for dv in devices}
+    if len(slices) <= 1:
+        return list(devices)
     return sorted(devices, key=lambda dv: (getattr(dv, "slice_index", 0) or 0,
                                            getattr(dv, "id", 0)))
 
@@ -70,6 +73,17 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     devices = arrange_hybrid(devices)
     d, f, m = cfg.resolve(len(devices))
+    slice_counts: dict = {}
+    for dv in devices[: d * f * m]:
+        s = getattr(dv, "slice_index", 0) or 0
+        slice_counts[s] = slice_counts.get(s, 0) + 1
+    if len(slice_counts) > 1:
+        bad = {s: n for s, n in slice_counts.items() if n % (f * m)}
+        assert not bad, (
+            f"devices-per-slice {bad} not divisible by fsdp*model={f * m}: "
+            "per-layer fsdp/model collectives would cross DCN every step; "
+            "shrink fsdp/model or use whole slices"
+        )
     dev_array = np.asarray(devices[: d * f * m]).reshape(d, f, m)
     return Mesh(dev_array, axis_names=("data", "fsdp", "model"))
 

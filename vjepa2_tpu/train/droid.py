@@ -173,23 +173,14 @@ def make_droid_train_step(encoder, predictor, tx, hp: DroidHParams, tokens_per_f
                 state.params, state.target_params, clips, actions, states, extrinsics
             )
         else:
-            def body(carry, xs):
-                gsum, lsum = carry
-                c, a, s, e = xs
-                (l_i, (j_i, s_i)), g = loss_and_grads(
-                    state.params, state.target_params, c, a, s, e
-                )
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
-                return (gsum, (lsum[0] + l_i, lsum[1] + j_i, lsum[2] + s_i)), None
+            from vjepa2_tpu.train.accum import scan_accumulate
 
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             z0 = jnp.zeros((), jnp.float32)
-            (gsum, lsum), _ = jax.lax.scan(
-                body, (zeros, (z0, z0, z0)), (clips, actions, states, extrinsics)
+            (loss, (jloss, sloss)), grads = scan_accumulate(
+                loss_and_grads, state.params, state.target_params,
+                (clips, actions, states, extrinsics), (z0, (z0, z0)),
+                grad_accum,
             )
-            inv = 1.0 / grad_accum
-            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
-            loss, jloss, sloss = (x * inv for x in lsum)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -210,12 +201,11 @@ def jit_droid_train_step(train_step, mesh, grad_accum: int = 1):
     (same scheme as `pretrain.jit_train_step`). The reference runs this stage
     data-parallel via DDP (`app/vjepa_droid/train.py:274-276`). With
     ``grad_accum > 1`` the microbatch dim leads and the batch dim is second."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
-    from vjepa2_tpu.core.mesh import batch_spec
+    from vjepa2_tpu.train.accum import microbatch_spec
 
-    spec = batch_spec() if grad_accum == 1 else P(None, ("data", "fsdp"))
-    data_sh = NamedSharding(mesh, spec)
+    data_sh = NamedSharding(mesh, microbatch_spec(grad_accum))
     return jax.jit(
         train_step,
         in_shardings=(None, data_sh, data_sh, data_sh, data_sh),

@@ -109,10 +109,9 @@ class DroidTrainer:
         self.ipe = ipe
         self.grad_accum = max(1, int(o.grad_accum))
         if self.grad_accum > 1:
-            assert c.data.batch_size % self.grad_accum == 0, (
-                f"batch_size {c.data.batch_size} not divisible by "
-                f"grad_accum {self.grad_accum}"
-            )
+            from vjepa2_tpu.train.accum import validate_grad_accum
+
+            validate_grad_accum(c.data.batch_size, self.grad_accum, self.mesh)
         self.tx = None  # built in run() once the param-tree shape is known
         os.makedirs(c.folder, exist_ok=True)
         keep_period = c.meta.save_every_freq * ipe if c.meta.save_every_freq else None

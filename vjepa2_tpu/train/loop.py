@@ -159,15 +159,9 @@ class Pretrainer:
 
         self.grad_accum = max(1, int(o.grad_accum))
         if self.grad_accum > 1:
-            assert c.data.batch_size % self.grad_accum == 0, (
-                f"batch_size {c.data.batch_size} not divisible by "
-                f"grad_accum {self.grad_accum}"
-            )
-            dp = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
-            assert (c.data.batch_size // self.grad_accum) % dp == 0, (
-                f"microbatch {c.data.batch_size // self.grad_accum} not "
-                f"divisible by the data-parallel mesh ({dp} ways)"
-            )
+            from vjepa2_tpu.train.accum import validate_grad_accum
+
+            validate_grad_accum(c.data.batch_size, self.grad_accum, self.mesh)
             assert not o.multifpc_within_step, (
                 "grad_accum composes with the per-fpc-bucket step, not the "
                 "within-step multi-fpc program (each bucket is already a "

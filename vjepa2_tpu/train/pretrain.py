@@ -232,23 +232,13 @@ def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: S
                 state.params, state.target_params, clips, masks_enc, masks_pred
             )
         else:
-            def body(carry, xs):
-                gsum, lsum = carry
-                c, me, mp = xs
-                loss_i, g = loss_and_grads(
-                    state.params, state.target_params, c, me, mp
-                )
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
-                return (gsum, lsum + loss_i), None
+            from vjepa2_tpu.train.accum import scan_accumulate
 
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (gsum, lsum), _ = jax.lax.scan(
-                body, (zeros, jnp.zeros((), jnp.float32)),
-                (clips, masks_enc, masks_pred),
+            loss, grads = scan_accumulate(
+                loss_and_grads, state.params, state.target_params,
+                (clips, masks_enc, masks_pred), jnp.zeros((), jnp.float32),
+                grad_accum,
             )
-            inv = 1.0 / grad_accum
-            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
-            loss = lsum * inv
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -355,10 +345,11 @@ def jit_train_step(train_step, mesh, grad_accum: int = 1):
     """jit with batch sharded over (data, fsdp); state shardings propagate
     from the (already placed) input state. With ``grad_accum > 1`` the
     microbatch dim leads and the batch dim (sharded) is second."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
-    spec = batch_spec() if grad_accum == 1 else P(None, ("data", "fsdp"))
-    data_sh = NamedSharding(mesh, spec)
+    from vjepa2_tpu.train.accum import microbatch_spec
+
+    data_sh = NamedSharding(mesh, microbatch_spec(grad_accum))
     return jax.jit(
         train_step,
         in_shardings=(None, data_sh, data_sh, data_sh),
