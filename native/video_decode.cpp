@@ -55,6 +55,8 @@ struct VDContext {
   int64_t next_index = 0;
   int64_t start_pts = 0;  // first frame's pts (stream time_base)
   bool start_pts_known = false;
+  bool at_start = true;     // decoder positioned at stream start (no seek yet)
+  bool pkt_pending = false; // pkt holds a packet the codec EAGAIN'd on
 
   ~VDContext() {
     if (sws) sws_freeContext(sws);
@@ -98,11 +100,14 @@ int next_frame(VDContext* c, int64_t* out_index) {
     if (ret == 0) {
       int64_t pts = c->frame->best_effort_timestamp;
       if (pts == AV_NOPTS_VALUE) pts = c->frame->pts;
-      if (!c->start_pts_known && pts != AV_NOPTS_VALUE && c->next_index <= 0) {
-        // first frame ever decoded from position 0 defines the origin
+      if (!c->start_pts_known && pts != AV_NOPTS_VALUE && c->at_start) {
+        // first frame decoded from the TRUE stream start defines the origin
+        // (a frame decoded after a mid-file seek lands on a keyframe and
+        // must not — it would shift every pts->index mapping)
         c->start_pts = pts;
         c->start_pts_known = true;
       }
+      c->at_start = false;
       int64_t idx;
       if (pts != AV_NOPTS_VALUE && c->start_pts_known)
         idx = pts_to_index(c, pts);
@@ -119,6 +124,16 @@ int next_frame(VDContext* c, int64_t* out_index) {
     }
     // feed more input
     for (;;) {
+      if (c->pkt_pending) {
+        // a packet the codec EAGAIN'd on earlier: resend it before reading
+        // more (dropping it would lose the frames it carries)
+        ret = avcodec_send_packet(c->codec, c->pkt);
+        if (ret == AVERROR(EAGAIN)) break;  // drain frames, resend later
+        c->pkt_pending = false;
+        av_packet_unref(c->pkt);
+        if (ret == 0) break;
+        continue;  // corrupt packet: skip it rather than fail the batch
+      }
       ret = av_read_frame(c->fmt, c->pkt);
       if (ret < 0) {
         avcodec_send_packet(c->codec, nullptr);  // flush
@@ -129,12 +144,13 @@ int next_frame(VDContext* c, int64_t* out_index) {
         continue;
       }
       ret = avcodec_send_packet(c->codec, c->pkt);
-      av_packet_unref(c->pkt);
-      if (ret == 0 || ret == AVERROR(EAGAIN)) break;
-      if (ret < 0) {
-        // corrupt packet: skip it rather than fail the batch
-        continue;
+      if (ret == AVERROR(EAGAIN)) {
+        c->pkt_pending = true;  // decoder full: drain, then resend this one
+        break;
       }
+      av_packet_unref(c->pkt);
+      if (ret == 0) break;
+      // corrupt packet: skip it rather than fail the batch
     }
   }
 }
@@ -153,7 +169,12 @@ int seek_to(VDContext* c, int64_t index) {
     }
   }
   avcodec_flush_buffers(c->codec);
-  c->next_index = -1;  // unknown until the first decoded pts
+  if (c->pkt_pending) {
+    av_packet_unref(c->pkt);
+    c->pkt_pending = false;
+  }
+  c->next_index = -1;   // unknown until the first decoded pts
+  c->at_start = false;  // positioned at a keyframe, not the stream origin
   return 0;
 }
 
@@ -272,6 +293,24 @@ int vd_get_batch(VDContext* c, const int64_t* indices, int n, uint8_t* out) {
 
   size_t u = 0;  // next unique index to satisfy
   uint8_t* last_done = nullptr;
+  // If the pts origin is unknown (container without start_time) and the
+  // first access wants to seek, learn the origin first: rewind to the true
+  // start and decode one frame. Seeking blind would make index_to_ts guess
+  // an origin AND adopt the landing keyframe's pts as frame 0, shifting
+  // every subsequent pts->index mapping.
+  if (!c->start_pts_known && sorted[0] > c->next_index + kSeekGapFrames &&
+      c->next_index >= 0 && !c->at_start) {
+    // mid-stream with unknown origin (pts-less frames so far): nothing to
+    // learn; sequential counting below stays authoritative
+  } else if (!c->start_pts_known && sorted[0] > kSeekGapFrames && c->at_start) {
+    int64_t idx_probe;
+    int pr = next_frame(c, &idx_probe);
+    if (pr < 0) return -3;
+    if (pr > 0 && idx_probe >= sorted[0]) {
+      // degenerate: the probe already reached the request (tiny stream)
+      c->next_index = idx_probe;  // fall through; loop below handles it
+    }
+  }
   // position the decoder: seek when behind or far ahead
   if (c->next_index < 0 || sorted[0] < c->next_index ||
       sorted[0] > c->next_index + kSeekGapFrames) {
@@ -283,7 +322,12 @@ int vd_get_batch(VDContext* c, const int64_t* indices, int n, uint8_t* out) {
         return -2;
       }
       avcodec_flush_buffers(c->codec);
+      if (c->pkt_pending) {
+        av_packet_unref(c->pkt);
+        c->pkt_pending = false;
+      }
       c->next_index = -1;
+      c->at_start = true;  // rewound to the true stream start
     }
   }
 

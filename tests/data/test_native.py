@@ -102,6 +102,41 @@ def test_decoder_matches_cv2_bit_exact(sample_mp4):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.fixture(scope="module")
+def long_mp4(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("vids") / "long.mp4")
+    clip = synthetic_clip(600, 64, 64, seed=11)
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+    for f in clip:
+        w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    w.release()
+    return path
+
+
+@decoder_skip
+def test_decoder_cold_start_far_seek(long_mp4):
+    """FIRST access seeks mid-file (past the kSeekGapFrames=256 re-seek
+    threshold): the decoder must land on the exact requested frames, not a
+    keyframe-shifted neighborhood — the pts origin must come from the stream
+    start, never from the post-seek landing frame."""
+    pytest.importorskip("cv2")
+    from vjepa2_tpu.data.video import VideoReader
+
+    idx = [500, 501, 510]
+    a = VideoReader(long_mp4, backend="native").get_batch(idx)
+    b = VideoReader(long_mp4, backend="cv2").get_batch(idx)
+    np.testing.assert_array_equal(a, b)
+    # and a fresh decoder seeking BACKWARD after the far start
+    d = native.NativeVideoDecoder(long_mp4)
+    far = d.get_batch([400])
+    near = d.get_batch([3])
+    ref = VideoReader(long_mp4, backend="cv2").get_batch([400, 3])
+    np.testing.assert_array_equal(far[0], ref[0])
+    np.testing.assert_array_equal(near[0], ref[1])
+    d.close()
+
+
 @decoder_skip
 def test_decoder_unsorted_and_reverse(sample_mp4):
     d = native.NativeVideoDecoder(sample_mp4)

@@ -40,6 +40,28 @@ def test_u8_transform_matches_float_path(use_native):
         np.testing.assert_allclose(norm_u, out_f, atol=tol)
 
 
+def test_float_input_clip_normalizes_on_host_and_once():
+    """A float [0,1] input clip (uint8 round-trips through color_jitter, but a
+    float-emitting dataset or aug can produce one) must (a) NOT be rescaled
+    by 255 a second time in the tail, and (b) be normalized on the HOST even
+    under normalize_on_device — the device step only normalizes uint8 clips,
+    so passing the float through would silently train on un-normalized
+    pixels."""
+    clip = _clip().astype(np.float32) / 255.0
+    tu = VideoTransform(crop_size=64, normalize_on_device=True)
+    out = tu(clip, rng=np.random.default_rng(0))
+    assert out.dtype == np.float32
+    # normalized range, not [0,1]: min well below -0.5 for imagenet stats
+    assert out.min() < -0.5, out.min()
+
+    tf = VideoTransform(crop_size=64)
+    out_f = tf(clip, rng=np.random.default_rng(0))
+    # if the tail divided a [0,1] float clip by 255 again, values collapse
+    # toward (0 - mean)/std ~ [-2.1, -1.8] with std ~ 0.01
+    assert out_f.std() > 0.3, out_f.std()
+    np.testing.assert_allclose(out, out_f, atol=1e-6)
+
+
 def test_native_u8_matches_numpy_u8():
     """The C++ u8 kernel agrees with the numpy fallback bit-for-bit up to
     bilinear rounding (<= 1 LSB)."""

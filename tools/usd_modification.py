@@ -41,6 +41,9 @@ def validate_config(config):
         return False, "Configuration must be a dictionary"
     if "rotate_x" in config and not isinstance(config["rotate_x"], bool):
         return False, "'rotate_x' must be a boolean"
+    # NOTE: 'renames' is validated but (like the reference,
+    # `src/utils/usd_modification.py:15-30`, which also has no apply step)
+    # never applied — kept for config-surface parity only.
     if "renames" in config:
         if not isinstance(config["renames"], dict):
             return False, "'renames' must be a dictionary"

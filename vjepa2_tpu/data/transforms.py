@@ -240,10 +240,21 @@ class VideoTransform:
         if flip:
             out = out[:, :, ::-1]
 
-        if self.normalize_on_device:
-            out = np.ascontiguousarray(out)  # stays uint8; device normalizes
+        if out.dtype == np.uint8:
+            if self.normalize_on_device:
+                out = np.ascontiguousarray(out)  # stays uint8; device normalizes
+            else:
+                out = out.astype(np.float32) / 255.0
+                if self.normalize:
+                    out = (out - self.mean) / self.std
+                out = np.ascontiguousarray(out)
         else:
-            out = out.astype(np.float32) / 255.0
+            # an upstream op (color jitter) already produced float [0, 1]:
+            # do NOT rescale by 255 again, and normalize on the HOST even
+            # under normalize_on_device — the device step only normalizes
+            # uint8 clips, so passing the float through would silently train
+            # on un-normalized pixels
+            out = out.astype(np.float32, copy=False)
             if self.normalize:
                 out = (out - self.mean) / self.std
             out = np.ascontiguousarray(out)

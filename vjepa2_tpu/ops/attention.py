@@ -233,7 +233,14 @@ def attend_bhnd(
         k = k[..., perm]
     if use_flash:
         if kv_valid is not None:
-            # the model already stack-padded the sequence; no per-call pads
+            # the model already stack-padded the sequence; no per-call pads.
+            # The kernel path below carries NO segment mask — combining the
+            # two would silently diverge from the XLA fallback.
+            if segment_ids is not None:
+                raise ValueError(
+                    "attend_bhnd: segment_ids + kv_valid is unsupported on "
+                    "the flash path (fold the tail into the segment ids "
+                    "instead)")
             use_kernel = fa.supports(n, d, False, False)
             if use_kernel:
                 if rope_expanded is not None:

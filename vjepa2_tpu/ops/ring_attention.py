@@ -91,9 +91,13 @@ def _hop_fwd(q, k, v, seg_q, seg_kv, scale, use_kernel):
 def _hop_bwd(q, k, v, seg_q, seg_kv, out, lse, do, scale, use_kernel):
     """Per-hop gradient contributions given the GLOBAL (out, lse)."""
     if use_kernel:
-        n, m = q.shape[2], k.shape[2]
-        bq = fa.pick_block(n, fa.DEFAULT_BLOCK_Q)
-        bk = fa.pick_block(m, fa.DEFAULT_BLOCK_K)
+        n, m, d = q.shape[2], k.shape[2], q.shape[3]
+        # backward-capped blocks (NOT the forward sizes): the bwd kernels
+        # keep ~4 score-shaped fp32 buffers live, and forward-sized blocks
+        # (1024x2048) sit far over the 16 MB scoped-VMEM cliff — same
+        # resolution as flash_attention_bhnd's bwd defaults
+        bq = fa.pick_block(n, fa.DEFAULT_BWD_BLOCK if d >= 64 else 384)
+        bk = fa.pick_block(m, fa.DEFAULT_BWD_BLOCK if d >= 64 else fa.DEFAULT_BLOCK_K)
         return fa._flash_bwd_bhnd(
             q, k, v, seg_q, None, None, None, None, out, lse, do,
             seg_kv=seg_kv, scale=scale, block_q=bq, block_k=bk,
