@@ -97,6 +97,51 @@ class TestGradAccum(unittest.TestCase):
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), atol=1e-5, rtol=0)
 
+    def test_grad_accum_composes_with_context_parallel(self):
+        """The docs/PARALLELISM.md 64f@384 recipe: CP ring + grad_accum in
+        ONE step program (scan of microbatches, each forward ring-sharded
+        over 'model', params ZeRO over ('fsdp','model'))."""
+        from vjepa2_tpu.core.mesh import MeshConfig, make_mesh
+        from vjepa2_tpu.ops.ring_attention import seq_sharded_attention
+        from vjepa2_tpu.train.pretrain import jit_train_step, shard_state
+
+        mesh = make_mesh(MeshConfig(data=1, fsdp=2, model=4))
+        cp_attend = seq_sharded_attention(mesh, "model")
+        enc = VisionTransformer(
+            img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+            embed_dim=32, depth=1, num_heads=2, use_rope=True,
+            cp_attend=cp_attend, dtype=jnp.float32,
+        )
+        pred = VisionTransformerPredictor(
+            img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+            embed_dim=32, predictor_embed_dim=32, depth=1, num_heads=2,
+            use_mask_tokens=True, num_mask_tokens=1, use_rope=True,
+            cp_attend=cp_attend, dtype=jnp.float32,
+        )
+        cfgs = [{"spatial_scale": (0.6, 0.6), "temporal_scale": (1.0, 1.0),
+                 "aspect_ratio": (1.0, 1.0), "num_blocks": 1}]
+        coll = MaskCollator(cfgs, dataset_fpcs=[T], crop_size=(S, S))
+        coll.step()
+        me, mp = coll(T, B)
+        hp = PretrainHParams(epochs=1, ipe=4, warmup_epochs=0)
+        tx = make_optimizer(hp)
+        params, target = init_params(
+            enc, pred, 0, (B, T, S, S, 3), jnp.asarray(me[0]), jnp.asarray(mp[0])
+        )
+        state = shard_state(TrainState.create(params, target, tx), mesh,
+                            tp=False, cp=True)
+        step = jit_train_step(
+            make_train_step(enc, pred, tx, hp, grad_accum=2), mesh,
+            grad_accum=2,
+        )
+        a, b = 2, B // 2
+        clips = jnp.asarray(
+            np.random.RandomState(2).rand(a, b, T, S, S, 3), jnp.float32)
+        me2 = tuple(jnp.asarray(m).reshape(a, b, -1) for m in me)
+        mp2 = tuple(jnp.asarray(m).reshape(a, b, -1) for m in mp)
+        state, metrics = step(state, clips, me2, mp2)
+        self.assertTrue(np.isfinite(float(metrics["loss"])))
+
     def test_trainer_plumbing_synthetic(self):
         """YAML grad_accum -> Pretrainer stage reshape -> scan step runs."""
         from vjepa2_tpu.core.config import load_config
