@@ -247,6 +247,20 @@ def bench_pretrain(args, n_runs: int = 3):
         use_flash=not args.no_flash,
         dtype=jnp.bfloat16,
     )
+    A = max(1, getattr(args, "accum", 1))
+    assert B % A == 0, f"batch {B} not divisible by --accum {A}"
+
+    def _shape(clips, menc, mpred):
+        # grad accumulation: microbatch dim leads ([A, B/A, ...])
+        if A == 1:
+            return clips, tuple(map(jnp.asarray, menc)), tuple(map(jnp.asarray, mpred))
+        b = B // A
+        return (
+            clips.reshape(A, b, *clips.shape[1:]),
+            tuple(jnp.asarray(m).reshape(A, b, -1) for m in menc),
+            tuple(jnp.asarray(m).reshape(A, b, -1) for m in mpred),
+        )
+
     coll = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
     coll.step()
     masks_enc, masks_pred = coll(T, B)
@@ -254,21 +268,21 @@ def bench_pretrain(args, n_runs: int = 3):
     tx = make_optimizer(hp)
     t0 = time.perf_counter()
     params, target = init_params(
-        encoder, predictor, 0, (B, T, S, S, 3),
-        jnp.asarray(masks_enc[0]), jnp.asarray(masks_pred[0]),
+        encoder, predictor, 0, (B // A, T, S, S, 3),
+        jnp.asarray(masks_enc[0][: B // A]), jnp.asarray(masks_pred[0][: B // A]),
     )
     init_s = time.perf_counter() - t0
     state = TrainState.create(params, target, tx)
-    step = jax.jit(make_train_step(encoder, predictor, tx, hp), donate_argnums=(0,))
+    step = jax.jit(make_train_step(encoder, predictor, tx, hp, grad_accum=A),
+                   donate_argnums=(0,))
 
     rs = np.random.RandomState(0)
     # bf16 clips: what the train loop actually feeds (host casts on collate)
     clips = jnp.asarray(rs.rand(B, T, S, S, 3), jnp.bfloat16)
-    me = tuple(jnp.asarray(m) for m in masks_enc)
-    mp = tuple(jnp.asarray(m) for m in masks_pred)
+    c0, me, mp = _shape(clips, masks_enc, masks_pred)
 
     t0 = time.perf_counter()
-    state, metrics = step(state, clips, me, mp)  # compile
+    state, metrics = step(state, c0, me, mp)  # compile
     float(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
@@ -279,12 +293,8 @@ def bench_pretrain(args, n_runs: int = 3):
         # the loss carried out chains the data dependency
         coll.step()
         menc, mpred = coll(T, B)
-        box[0], m = step(
-            box[0],
-            clips + carry.astype(jnp.bfloat16) * 0,
-            tuple(map(jnp.asarray, menc)),
-            tuple(map(jnp.asarray, mpred)),
-        )
+        ci, mei, mpi = _shape(clips + carry.astype(jnp.bfloat16) * 0, menc, mpred)
+        box[0], m = step(box[0], ci, mei, mpi)
         return m["loss"]
 
     runs = _timed_runs(one, args.steps, n_runs)
@@ -296,16 +306,17 @@ def bench_pretrain(args, n_runs: int = 3):
     n_full = (T // 2) * (S // 16) ** 2
     enc_f = encoder_flops(encoder.embed_dim, encoder.depth, encoder.mlp_ratio, n_full)
     ctx_f = sum(
-        encoder_flops(encoder.embed_dim, encoder.depth, encoder.mlp_ratio, m.shape[1])
+        encoder_flops(encoder.embed_dim, encoder.depth, encoder.mlp_ratio, m.shape[-1])
         for m in me
     )
-    pred_tokens = [me[i].shape[1] + mp[i].shape[1] for i in range(len(me))]
+    pred_tokens = [me[i].shape[-1] + mp[i].shape[-1] for i in range(len(me))]
     pred_f = sum(encoder_flops(384, 12, 4.0, t, patch_size=0) for t in pred_tokens)
     total = B * (enc_f + 3 * (ctx_f + pred_f))
     measured = measured_peak_tflops()
     mfu = total / dt / 1e12 / measured
     return {
-        "metric": f"{args.model} masked-pretrain step time ({T}f@{S}px bs{B} bf16)",
+        "metric": (f"{args.model} masked-pretrain step time ({T}f@{S}px bs{B}"
+                   + (f" accum{A}" if A > 1 else "") + " bf16)"),
         "value": round(best_ms, 2),
         "unit": "ms/step",
         "vs_baseline": round(mfu, 4),
@@ -313,8 +324,9 @@ def bench_pretrain(args, n_runs: int = 3):
             "measured_peak_tflops": round(measured, 1),
             "mfu_vs_nominal": round(total / dt / 1e12 / chip_peak_tflops(), 4),
             "total_step_flops_T": round(total / 1e12, 2),
-            "mask_lengths": {"ctx": [int(m.shape[1]) for m in me],
-                             "pred": [int(m.shape[1]) for m in mp]},
+            "mask_lengths": {"ctx": [int(m.shape[-1]) for m in me],
+                             "pred": [int(m.shape[-1]) for m in mp]},
+            "grad_accum": A,
             "init_s": round(init_s, 1),
             "compile_s": round(compile_s, 1),
             "runs": runs,
@@ -604,7 +616,8 @@ def _require_backend(timeout_s: float = 600.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="headline",
-                    choices=["headline", "encode", "pretrain", "e2e", "ac", "cem"])
+                    choices=["headline", "encode", "pretrain", "cooldown",
+                             "e2e", "ac", "cem"])
     ap.add_argument("--model", default=None)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=None)
@@ -618,6 +631,9 @@ def main():
     ap.add_argument("--u8", action="store_true",
                     help="e2e: uint8 clips host-side, normalize on device "
                          "(4x less host memory traffic and H2D bytes)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="pretrain/cooldown: gradient-accumulation microbatches "
+                         "per optimizer step (scan; one update)")
     args = ap.parse_args()
     _require_backend()
 
@@ -631,6 +647,19 @@ def main():
         # pretrain defaults to ViT-L (the headline capture's model — a
         # bs8/16f vit_giant pretrain step without remat needs ~21 GB HBM)
         args.model = "vit_giant" if args.mode in ("headline", "encode") else "vit_large"
+    if args.mode == "cooldown":
+        # reference cooldown: 64f@256, per-GPU bs12 across 32x8 GPUs
+        # (`configs/train/vitl16/cooldown-256px-64f.yaml:5-17`). One chip
+        # runs it with remat + grad accumulation: bs4 microbatches x3 =
+        # the reference per-GPU effective batch.
+        args.mode = "pretrain"
+        if args.frames is None:
+            args.frames = 64
+        args.remat = True
+        if args.accum == 1 and args.batch == 8:
+            args.batch, args.accum = 12, 3
+        if args.steps > 4:
+            args.steps = 4
     if args.frames is None:
         args.frames = 8 if args.mode == "ac" else 16
     if args.mode == "ac":

@@ -29,4 +29,8 @@ timeout 1700 python -u scripts/trace_step.py
 timeout 1800 python bench.py --mode ac
 timeout 1200 python bench.py --mode cem
 
+# 7. cooldown step at the reference per-GPU effective batch (64f@256 bs12 =
+#    3 x bs4 microbatches via grad accumulation, remat)
+timeout 2400 python bench.py --mode cooldown
+
 echo "TPU session complete"

@@ -62,7 +62,7 @@ def test_param_spec_cp_rules():
 
 def test_mesh_resolve():
     cfg = MeshConfig(data=-1, fsdp=2, model=2)
-    assert cfg.resolve(8) == (2, 2, 2)
+    assert cfg.resolve(8) == (2, 2, 2, 1)
     with pytest.raises(AssertionError):
         MeshConfig(data=3, fsdp=2, model=2).resolve(8)
 

@@ -130,6 +130,11 @@ class MeshSection:
     data: int = -1
     fsdp: int = 1
     model: int = 1
+    # pipeline parallelism (core/pipeline.py): number of GPipe stages the
+    # encoder's block stack splits into, and microbatches streamed through
+    # them per forward (bubble fraction = (pipe-1)/(microbatches+pipe-1))
+    pipe: int = 1
+    pipe_microbatches: int = 4
 
 
 @dataclass

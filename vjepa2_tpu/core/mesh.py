@@ -29,17 +29,19 @@ class MeshConfig:
     data: int = -1  # -1: all remaining devices
     fsdp: int = 1
     model: int = 1
+    pipe: int = 1  # pipeline stages (GPipe schedule, core/pipeline.py)
 
-    def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int]:
+    def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int, int]:
         n = n_devices if n_devices is not None else jax.device_count()
-        d, f, m = self.data, self.fsdp, self.model
+        d, f, m, p = self.data, self.fsdp, self.model, self.pipe
         if d == -1:
-            assert n % (f * m) == 0, f"{n} devices not divisible by fsdp*model={f * m}"
-            d = n // (f * m)
+            assert n % (f * m * p) == 0, (
+                f"{n} devices not divisible by fsdp*model*pipe={f * m * p}")
+            d = n // (f * m * p)
         # an explicit mesh may use a subset of the visible devices (e.g. a
         # small-batch job on a big slice); with data=-1 it must cover all
-        assert d * f * m <= n, f"mesh {d}x{f}x{m} > {n} devices"
-        return d, f, m
+        assert d * f * m * p <= n, f"mesh {d}x{f}x{m}x{p} > {n} devices"
+        return d, f, m, p
 
 
 def arrange_hybrid(devices) -> list:
@@ -63,18 +65,22 @@ def arrange_hybrid(devices) -> list:
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
-    """Build the ('data','fsdp','model') mesh.
+    """Build the ('pipe','data','fsdp','model') mesh.
 
-    Multi-slice: devices group by slice on the slowest ('data') axis via
-    `arrange_hybrid`, keeping fsdp/model collectives on ICI. For the layout
-    to be DCN-clean, devices-per-slice must be divisible by fsdp*model (a
-    slice boundary then always falls between 'data' rows).
+    Multi-slice: devices group by slice on the slowest axes via
+    `arrange_hybrid`, keeping fsdp/model collectives on ICI. 'pipe' is the
+    SLOWEST axis: with pipeline stages spanning slices, only the
+    point-to-point boundary-activation ppermute crosses DCN (the canonical
+    TPU multi-slice layout); with pipe=1 the mesh degrades to the r2
+    ('data','fsdp','model') behavior exactly. For the layout to be
+    DCN-clean, devices-per-slice must be divisible by fsdp*model (a slice
+    boundary then always falls between 'data' rows).
     """
     devices = devices if devices is not None else jax.devices()
     devices = arrange_hybrid(devices)
-    d, f, m = cfg.resolve(len(devices))
+    d, f, m, p = cfg.resolve(len(devices))
     slice_counts: dict = {}
-    for dv in devices[: d * f * m]:
+    for dv in devices[: d * f * m * p]:
         s = getattr(dv, "slice_index", 0) or 0
         slice_counts[s] = slice_counts.get(s, 0) + 1
     if len(slice_counts) > 1:
@@ -84,8 +90,8 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
             "per-layer fsdp/model collectives would cross DCN every step; "
             "shrink fsdp/model or use whole slices"
         )
-    dev_array = np.asarray(devices[: d * f * m]).reshape(d, f, m)
-    return Mesh(dev_array, axis_names=("data", "fsdp", "model"))
+    dev_array = np.asarray(devices[: d * f * m * p]).reshape(p, d, f, m)
+    return Mesh(dev_array, axis_names=("pipe", "data", "fsdp", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

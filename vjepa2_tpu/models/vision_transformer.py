@@ -92,13 +92,21 @@ class VisionTransformer(nn.Module):
             return grid.reshape(-1, self.embed_dim)
 
     @nn.compact
-    def __call__(self, x, masks=None):
+    def __call__(self, x, masks=None, stage: str = "full"):
         """x: [B, T, H, W, C] (video) or [B, H, W, C] (image).
 
         masks: None, a [B, K] int index array, or a list of them. With a list
         the outputs are stacked along batch (reference semantics).
         Returns [B*len(masks), K, D] tokens (or list of per-layer outputs when
         ``out_layers`` is set).
+
+        ``stage="pre"`` (pipeline parallelism, `core/pipeline.py`) stops just
+        before the block stack and returns ``(tokens, aux)`` where ``aux``
+        carries everything a pipeline stage needs to run a standalone
+        ``Block`` on an activation shard: traced arrays (pos_ids, rope
+        tables) plus trace-time-static python values (head_perm, kv_valid,
+        n_real, patch grid). The block/norm params are simply unused by this
+        call path (flax ``apply`` ignores unused param subtrees).
         """
         if masks is not None and not isinstance(masks, (list, tuple)):
             masks = [masks]
@@ -189,6 +197,19 @@ class VisionTransformer(nn.Module):
                 )
                 head_perm = tuple(int(i) for i in perm)
                 rope_cache = None
+
+        if stage == "pre":
+            assert self.out_layers is None, "pipeline mode has no out_layers taps"
+            return tokens, {
+                "pos_ids": pos_ids,
+                "rope_cache": rope_cache,
+                "rope_expanded": rope_expanded,
+                "head_perm": head_perm,
+                "kv_valid": kv_valid,
+                "n_real": n_real,
+                "h_patches": h_patches,
+                "w_patches": w_patches,
+            }
 
         norm = LayerNorm(dtype=self.dtype, name="norm")  # shared across taps
         outs = []

@@ -102,8 +102,22 @@ class Pretrainer:
     def __post_init__(self):
         c = self.cfg
         self.dtype = jnp.bfloat16 if c.meta.dtype in ("bfloat16", "bf16") else jnp.float32
-        self.mesh = make_mesh(MeshConfig(c.mesh.data, c.mesh.fsdp, c.mesh.model))
+        self.mesh = make_mesh(
+            MeshConfig(c.mesh.data, c.mesh.fsdp, c.mesh.model, pipe=c.mesh.pipe))
         self.fpcs = sorted(set(c.data.dataset_fpcs))
+
+        # pipeline parallelism (core/pipeline.py): encoder blocks split into
+        # `mesh.pipe` GPipe stages; microbatches stream through them
+        self.pipeline = c.mesh.pipe > 1
+        if self.pipeline:
+            assert not c.model.context_parallel, (
+                "pipeline and ring-attention context parallelism both "
+                "re-schedule the block stack; pick one")
+            assert not c.optimization.multifpc_within_step, (
+                "pipeline v1 runs the per-fpc-bucket step")
+            assert c.data.batch_size % c.mesh.pipe_microbatches == 0, (
+                f"batch {c.data.batch_size} not divisible by "
+                f"pipe_microbatches={c.mesh.pipe_microbatches}")
 
         # context parallelism: ring attention token-shards the long (64f+)
         # sequences over the mesh 'model' axis (reference scales the 64f
@@ -155,10 +169,20 @@ class Pretrainer:
             eps=o.eps,
             loss_exp=c.loss.loss_exp,
         )
-        self.tx = make_optimizer(self.hp)
+        if self.pipeline:
+            from vjepa2_tpu.core.pipeline import pp_wd_mask
+
+            assert self.encoder.depth % c.mesh.pipe == 0, (
+                f"depth {self.encoder.depth} not divisible by pipe={c.mesh.pipe}")
+            self.tx = make_optimizer(self.hp, mask=pp_wd_mask)
+        else:
+            self.tx = make_optimizer(self.hp)
 
         self.grad_accum = max(1, int(o.grad_accum))
         if self.grad_accum > 1:
+            assert not self.pipeline, (
+                "pipeline v1 does not compose with grad_accum (microbatching "
+                "already happens inside the GPipe schedule)")
             from vjepa2_tpu.train.accum import validate_grad_accum
 
             validate_grad_accum(c.data.batch_size, self.grad_accum, self.mesh)
@@ -246,12 +270,18 @@ class Pretrainer:
             jnp.asarray(masks_enc[0]),
             jnp.asarray(masks_pred[0]),
         )
-        state = TrainState.create(params, target, self.tx)
         logger.info(
             "params: encoder %.1fM predictor %.1fM",
             num_params(params["encoder"]) / 1e6,
             num_params(params["predictor"]) / 1e6,
         )
+        if self.pipeline:
+            from vjepa2_tpu.core.pipeline import shard_pp_state, to_pp_params
+
+            pp_params, pp_target = to_pp_params(params, target)
+            state = TrainState.create(pp_params, pp_target, self.tx)
+            return shard_pp_state(state, self.mesh)
+        state = TrainState.create(params, target, self.tx)
         return shard_state(
             state, self.mesh,
             tp=not self.context_parallel, cp=self.context_parallel,
@@ -273,11 +303,20 @@ class Pretrainer:
                 for mi in range(len(self.cfg.mask))
             ]
             ga = self.grad_accum
-            self._step_fns[fpc] = jit_train_step(
-                make_train_step(self.encoder, self.predictor, self.tx, self.hp, mask_indices,
-                                norm_stats=self._norm_stats(), grad_accum=ga),
-                self.mesh, grad_accum=ga,
-            )
+            if self.pipeline:
+                from vjepa2_tpu.core.pipeline import make_pp_train_step
+
+                step = make_pp_train_step(
+                    self.encoder, self.predictor, self.tx, self.hp, self.mesh,
+                    n_microbatch=self.cfg.mesh.pipe_microbatches,
+                    mask_indices=mask_indices, norm_stats=self._norm_stats(),
+                    remat=self.cfg.model.use_activation_checkpointing,
+                )
+            else:
+                step = make_train_step(
+                    self.encoder, self.predictor, self.tx, self.hp, mask_indices,
+                    norm_stats=self._norm_stats(), grad_accum=ga)
+            self._step_fns[fpc] = jit_train_step(step, self.mesh, grad_accum=ga)
         return self._step_fns[fpc]
 
     def _norm_stats(self):

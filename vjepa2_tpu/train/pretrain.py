@@ -140,7 +140,10 @@ def init_params(encoder, predictor, seed: int, clip_shape, masks_enc0, masks_pre
     return params, target
 
 
-def make_optimizer(hp: PretrainHParams) -> optax.GradientTransformation:
+def make_optimizer(hp: PretrainHParams, mask=None) -> optax.GradientTransformation:
+    """``mask`` overrides the weight-decay mask (default: reference ndim>=2
+    rule); the pipeline layout passes `core.pipeline.pp_wd_mask` because its
+    stacked block leaves carry an extra layer axis."""
     lr_fn = functools.partial(
         warmup_cosine_lr,
         warmup_steps=hp.warmup_steps,
@@ -150,7 +153,8 @@ def make_optimizer(hp: PretrainHParams) -> optax.GradientTransformation:
         final_lr=hp.final_lr,
     )
     wd_fn = functools.partial(cosine_wd, ref_wd=hp.wd, t_max=hp.total_steps, final_wd=hp.final_wd)
-    return make_adamw(lr_fn, wd_fn, betas=hp.betas, eps=hp.eps)
+    kw = {} if mask is None else {"mask": mask}
+    return make_adamw(lr_fn, wd_fn, betas=hp.betas, eps=hp.eps, **kw)
 
 
 def jepa_loss(z_list, h_list, loss_exp: float) -> jnp.ndarray:
