@@ -619,7 +619,8 @@ def main():
                     choices=["headline", "encode", "pretrain", "cooldown",
                              "e2e", "ac", "cem"])
     ap.add_argument("--model", default=None)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default 8 (cooldown: 12 = 3 x bs4 microbatches)")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10)
@@ -656,10 +657,16 @@ def main():
         if args.frames is None:
             args.frames = 64
         args.remat = True
-        if args.accum == 1 and args.batch == 8:
-            args.batch, args.accum = 12, 3
+        # only fill knobs the user left unset (--batch default is None so an
+        # explicit --batch 8 is distinguishable from the global default)
+        if args.batch is None:
+            args.batch = 12
+            if args.accum == 1:
+                args.accum = 3
         if args.steps > 4:
             args.steps = 4
+    if args.batch is None:
+        args.batch = 8
     if args.frames is None:
         args.frames = 8 if args.mode == "ac" else 16
     if args.mode == "ac":

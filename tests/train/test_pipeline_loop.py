@@ -30,6 +30,65 @@ class TestPipelineLoop(unittest.TestCase):
         result = trainer.run(epochs=1, log_every=2)
         self.assertTrue(np.isfinite(result["loss"]))
 
+    def test_online_eval_sees_plain_layout_under_pipeline(self):
+        """The online-eval hook must receive the unstacked blocks_i tree,
+        not the pipeline's stacked 'encoder_blocks' layout (review fix)."""
+        from vjepa2_tpu.core.config import load_config
+        from vjepa2_tpu.train.loop import Pretrainer
+
+        cfg = load_config(
+            os.path.join(REPO, "configs", "train", "smoke-pipeline.yaml"))
+        cfg.folder = "/tmp/vjepa2_tpu_smoke_pipeline_eval_test"
+        cfg.meta.eval_freq = 1
+        trainer = Pretrainer(cfg, synthetic_data=True)
+        seen = {}
+
+        def spy(encoder, target_params, epoch, **kw):
+            seen["params"] = target_params
+            return {"spy": 0.0}
+
+        trainer.online_eval = spy
+        result = trainer.run(epochs=1, log_every=2)
+        self.assertTrue(np.isfinite(result["loss"]))
+        self.assertIn("patch_embed", seen["params"])
+        self.assertIn("blocks_0", seen["params"])
+        self.assertNotIn("encoder_blocks", seen["params"])
+
+    def test_eval_cli_extracts_encoder_from_any_layout(self):
+        """`cli.eval._extract_encoder_params` accepts hub params, TrainState
+        dicts, and the pipeline layout (review fix)."""
+        import jax.numpy as jnp
+
+        from vjepa2_tpu.cli.eval import _extract_encoder_params
+        from vjepa2_tpu.core.pipeline import split_block_params
+
+        enc_tree = {
+            "patch_embed": {"proj": {"kernel": jnp.ones((4, 8))}},
+            "norm": {"scale": jnp.ones((8,))},
+            "blocks_0": {"w": jnp.ones((8, 8))},
+            "blocks_1": {"w": jnp.full((8, 8), 2.0)},
+        }
+        # (a) bare encoder params pass through
+        self.assertIs(_extract_encoder_params(enc_tree), enc_tree)
+        # (b) whole-TrainState dict -> EMA target
+        st = {"params": {"encoder": enc_tree, "predictor": {}},
+              "target_params": enc_tree, "step": 3}
+        self.assertIs(_extract_encoder_params(st), enc_tree)
+        # (c) pipeline layout -> unstacked
+        rest, stacked = split_block_params(enc_tree)
+        out = _extract_encoder_params(
+            {"encoder": rest, "encoder_blocks": stacked})
+        self.assertIn("patch_embed", out)
+        np.testing.assert_array_equal(
+            np.asarray(out["blocks_1"]["w"]),
+            np.asarray(enc_tree["blocks_1"]["w"]))
+        # (c') TrainState of a pipeline run
+        st_pp = {"params": {"encoder": rest, "encoder_blocks": stacked,
+                            "predictor": {}},
+                 "target_params": {"encoder": rest, "encoder_blocks": stacked},
+                 "step": 3}
+        self.assertIn("blocks_0", _extract_encoder_params(st_pp))
+
     def test_pipeline_rejects_bad_compositions(self):
         from vjepa2_tpu.core.config import load_config
         from vjepa2_tpu.train.loop import Pretrainer

@@ -84,8 +84,28 @@ def build_encoder(model_kwargs: dict, resolution: int, fpc: int, checkpoint=None
         else:
             from vjepa2_tpu.core.checkpoint import load_params
 
-            params = load_params(checkpoint)
+            params = _extract_encoder_params(load_params(checkpoint))
     return enc, params
+
+
+def _extract_encoder_params(tree):
+    """Normalize an orbax restore to the bare encoder param tree.
+
+    Accepts (a) encoder-only params (hub-style `save_params` artifacts, the
+    reference `checkpoint_key` analogue), (b) a whole pretrain TrainState
+    (uses the EMA target, like the reference's `target_encoder` key), and
+    (c) the pipeline-parallel layout (`core/pipeline.py` stacks blocks under
+    'encoder_blocks'; unstacked here so evals see the plain blocks_i tree).
+    """
+    if isinstance(tree, dict) and "target_params" in tree:
+        tree = tree["target_params"]
+    if isinstance(tree, dict) and "encoder_blocks" in tree:
+        from vjepa2_tpu.core.pipeline import merge_block_params
+
+        return merge_block_params(tree["encoder"], tree["encoder_blocks"])
+    if isinstance(tree, dict) and "encoder" in tree and "patch_embed" not in tree:
+        return tree["encoder"]
+    return tree
 
 
 def make_video_eval_loaders(data_c, batch_size, fpc, res, num_clips, num_classes, ipe,

@@ -31,9 +31,10 @@ Design (TPU-first, no torch pipeline-engine analogue):
   the microbatch it is currently processing (iteration t, stage s works
   on microbatch t - s) — one dynamic_index instead of P hops.
 
-Outputs leave as a `psum` over 'pipe' (every stage but the last
-contributes zeros), so the result is replicated over the pipe axis and
-downstream (predictor, loss) runs under plain GSPMD.
+Outputs leave stacked over 'pipe' and the last stage's slice is taken
+outside the manual region (the other slices are dead code), so GSPMD
+broadcasts one shard point-to-point; downstream (predictor, loss) runs
+under plain GSPMD, replicated over the pipe axis.
 """
 
 from __future__ import annotations
@@ -86,13 +87,6 @@ def stage_param_spec(leaf) -> P:
     spec[0] = "pipe"
     spec[axis] = "fsdp"
     return P(*spec)
-
-
-def shard_stacked(stacked, mesh: Mesh):
-    return jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, stage_param_spec(leaf))),
-        stacked,
-    )
 
 
 # -------------------------------------------------------------- schedule
@@ -160,17 +154,22 @@ def pipeline_blocks(block_apply, stacked, tokens, aux_mb, aux_bc, *,
 
         init = (jnp.zeros_like(tok_mb[0]), jnp.zeros_like(tok_mb))
         (_, outputs), _ = jax.lax.scan(body, init, jnp.arange(m + n_pipe - 1))
-        # only the last stage holds non-zero outputs -> psum replicates them
-        return jax.lax.psum(outputs, "pipe")
+        return outputs[None]  # stack over 'pipe'; only the last slice is live
 
     out = jax.shard_map(
         _local,
         mesh=mesh,
         in_specs=(P("pipe"), P(), P(), P()),
-        out_specs=P(),
+        out_specs=P("pipe"),
         axis_names={"pipe"},
         check_vma=False,
     )(stacked, tok_mb, aux_mb, aux_bc)
+    # Take the last stage's banked outputs; the other stages' slices are
+    # dead, so GSPMD broadcasts ONE shard point-to-point instead of
+    # all-reducing the full [M, ...] tensor over the pipe axis (a psum here
+    # would double cross-slice traffic on multi-slice pods and its AD
+    # transpose would re-broadcast cotangents in backward).
+    out = out[n_pipe - 1]
     return out.reshape(b_eff, *out.shape[2:])
 
 

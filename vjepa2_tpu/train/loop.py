@@ -291,7 +291,20 @@ class Pretrainer:
         state = self.init_state()
         if self.ckpt.latest_step() is not None and self.cfg.meta.load_checkpoint:
             logger.info("restoring checkpoint step=%s", self.ckpt.latest_step())
-            state = self.ckpt.restore(state)
+            try:
+                state = self.ckpt.restore(state)
+            except (ValueError, KeyError) as e:
+                # the usual cause: flipping mesh.pipe on an existing run
+                # folder (pipeline runs store blocks stacked under
+                # 'encoder_blocks'; plain runs store blocks_i) — the orbax
+                # tree-structure error alone doesn't say why
+                raise RuntimeError(
+                    f"checkpoint in {self.cfg.folder} does not match the "
+                    f"configured param layout (mesh.pipe="
+                    f"{self.cfg.mesh.pipe}); resume with the layout the run "
+                    "was started with, or convert via core.pipeline."
+                    "to_pp_params/from_pp_params"
+                ) from e
             self.collator.set_step(int(state.step))
         return state
 
@@ -474,8 +487,17 @@ class Pretrainer:
             ):
                 # online probe eval on the frozen EMA target (the reference
                 # spawns eval jobs at eval_freq, `app/vjepa/utils.py:25-87`)
+                target_params = state.target_params
+                if self.pipeline:
+                    # evals consume the plain blocks_i layout; unstack the
+                    # pipeline's [depth, ...] leaves (gathers each stage's
+                    # shard once per eval, not per step)
+                    from vjepa2_tpu.core.pipeline import merge_block_params
+
+                    target_params = merge_block_params(
+                        target_params["encoder"], target_params["encoder_blocks"])
                 metrics = self.online_eval(
-                    self.encoder, state.target_params, epoch,
+                    self.encoder, target_params, epoch,
                     predictor=self.predictor,
                     predictor_params=state.params.get("predictor"),
                 )
