@@ -172,6 +172,59 @@ def test_pp_train_step_matches_unsharded():
         up_target, st_ref.target_params)
 
 
+def test_pp_train_step_with_grad_accum_matches_fullbatch():
+    """grad_accum composes with the GPipe schedule: two accumulation
+    microbatches, each running the full pipeline pass, must reproduce the
+    unsharded full-batch update (loss is a mean over equal microbatches;
+    every per-sample computation is independent)."""
+    enc = _encoder()
+    pred = VisionTransformerPredictor(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=64, predictor_embed_dim=64, depth=2, num_heads=2,
+        use_mask_tokens=True, num_mask_tokens=2, use_rope=True,
+        uniform_power=True, dtype=jnp.float32)
+    cfgs = [{"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+             "aspect_ratio": (0.75, 1.5), "num_blocks": 2}]
+    coll = MaskCollator(cfgs, dataset_fpcs=[T], crop_size=(S, S))
+    coll.step()
+    me, mp = coll(T, B)
+    me = tuple(jnp.asarray(m) for m in me)
+    mp = tuple(jnp.asarray(m) for m in mp)
+    clips = jnp.asarray(np.random.RandomState(3).rand(B, T, S, S, 3),
+                        jnp.float32)
+    hp = PretrainHParams(epochs=1, ipe=10, warmup_epochs=0)
+
+    params, target = init_params(enc, pred, 0, (B, T, S, S, 3), me[0], mp[0])
+
+    # ---- unsharded full-batch reference step
+    tx = make_optimizer(hp)
+    st_ref = TrainState.create(params, target, tx)
+    step_ref = jax.jit(make_train_step(enc, pred, tx, hp))
+    st_ref, m_ref = step_ref(st_ref, clips, me, mp)
+
+    # ---- pipelined step with grad_accum=2 on a pipe=4 x data=2 mesh
+    mesh = _mesh(pipe=4)
+    pp_params, pp_target = to_pp_params(params, target)
+    tx_pp = make_optimizer(hp, mask=pp_wd_mask)
+    st_pp = TrainState.create(pp_params, pp_target, tx_pp)
+    st_pp = shard_pp_state(st_pp, mesh)
+    step_pp = jax.jit(make_pp_train_step(
+        enc, pred, tx_pp, hp, mesh, n_microbatch=2, grad_accum=2))
+    a, b = 2, B // 2
+    clips2 = clips.reshape(a, b, T, S, S, 3)
+    me2 = tuple(m.reshape(a, b, -1) for m in me)
+    mp2 = tuple(m.reshape(a, b, -1) for m in mp)
+    st_pp, m_pp = step_pp(st_pp, clips2, me2, mp2)
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    up_params, up_target = from_pp_params(st_pp.params, st_pp.target_params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-4, atol=1e-6),
+        up_params, st_ref.params)
+
+
 def test_pp_wd_mask_matches_reference_rule():
     """Stacked-bias leaves (ndim 2 after stacking) must NOT get weight decay;
     stacked kernels (ndim >= 3) must."""

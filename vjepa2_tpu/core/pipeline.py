@@ -300,7 +300,7 @@ def shard_pp_state(state, mesh: Mesh):
 
 def make_pp_train_step(encoder, predictor, tx, hp, mesh: Mesh,
                        n_microbatch: int, mask_indices=None, norm_stats=None,
-                       remat: bool = True):
+                       remat: bool = True, grad_accum: int = 1):
     """Pipeline-parallel variant of `train.pretrain.make_train_step`.
 
     Both encoder forwards (EMA target + per-mask context) run the GPipe
@@ -308,6 +308,12 @@ def make_pp_train_step(encoder, predictor, tx, hp, mesh: Mesh,
     'pipe' — the predictor is ~5% of step FLOPs at ViT-g scale, and its
     gradients are identical on every pipe rank, so no extra collectives
     appear). State uses the `to_pp_params` layout.
+
+    ``grad_accum > 1`` composes with the schedule: each accumulation
+    microbatch (leading [A] dim on the inputs) runs the full GPipe pass —
+    pipe microbatching happens *inside* each accumulation step, so the
+    effective per-pass batch must still divide `n_microbatch` — and the
+    averaged gradients get ONE optimizer update (`train.accum`).
     """
     import optax
 
@@ -318,14 +324,11 @@ def make_pp_train_step(encoder, predictor, tx, hp, mesh: Mesh,
 
     encode = make_pp_encode(encoder, mesh, n_microbatch, remat=remat)
 
-    def train_step(state, clips, masks_enc, masks_pred):
-        momentum = ema_momentum(
-            state.step, ema_start=hp.ema[0], ema_end=hp.ema[1],
-            t_max=hp.total_steps)
+    def loss_and_grads(params, target_params, clips, masks_enc, masks_pred):
         clips_n = _device_normalize(clips, encoder, norm_stats)
 
-        h_all = encode(state.target_params["encoder"],
-                       state.target_params["encoder_blocks"], clips_n)
+        h_all = encode(target_params["encoder"],
+                       target_params["encoder_blocks"], clips_n)
         h_all = h_all.astype(jnp.float32)
         h_all = (h_all - h_all.mean(-1, keepdims=True)) / jnp.sqrt(
             h_all.var(-1, keepdims=True) + 1e-6)
@@ -343,7 +346,24 @@ def make_pp_train_step(encoder, predictor, tx, hp, mesh: Mesh,
                 z_list.append(z)
             return jepa_loss(z_list, h_list, hp.loss_exp)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return jax.value_and_grad(loss_fn)(params)
+
+    def train_step(state, clips, masks_enc, masks_pred):
+        momentum = ema_momentum(
+            state.step, ema_start=hp.ema[0], ema_end=hp.ema[1],
+            t_max=hp.total_steps)
+
+        if grad_accum == 1:
+            loss, grads = loss_and_grads(
+                state.params, state.target_params, clips, masks_enc, masks_pred)
+        else:
+            from vjepa2_tpu.train.accum import scan_accumulate
+
+            loss, grads = scan_accumulate(
+                loss_and_grads, state.params, state.target_params,
+                (clips, masks_enc, masks_pred), jnp.zeros((), jnp.float32),
+                grad_accum,
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         target = ema_update(

@@ -180,12 +180,16 @@ class Pretrainer:
 
         self.grad_accum = max(1, int(o.grad_accum))
         if self.grad_accum > 1:
-            assert not self.pipeline, (
-                "pipeline v1 does not compose with grad_accum (microbatching "
-                "already happens inside the GPipe schedule)")
             from vjepa2_tpu.train.accum import validate_grad_accum
 
             validate_grad_accum(c.data.batch_size, self.grad_accum, self.mesh)
+            if self.pipeline:
+                # each accumulation microbatch runs the full GPipe pass, so
+                # it must itself split into the pipe microbatches
+                per_pass = c.data.batch_size // self.grad_accum
+                assert per_pass % c.mesh.pipe_microbatches == 0, (
+                    f"per-accumulation batch {per_pass} not divisible by "
+                    f"pipe_microbatches={c.mesh.pipe_microbatches}")
             assert not o.multifpc_within_step, (
                 "grad_accum composes with the per-fpc-bucket step, not the "
                 "within-step multi-fpc program (each bucket is already a "
@@ -324,6 +328,7 @@ class Pretrainer:
                     n_microbatch=self.cfg.mesh.pipe_microbatches,
                     mask_indices=mask_indices, norm_stats=self._norm_stats(),
                     remat=self.cfg.model.use_activation_checkpointing,
+                    grad_accum=ga,
                 )
             else:
                 step = make_train_step(
