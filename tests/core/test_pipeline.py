@@ -225,6 +225,61 @@ def test_pp_train_step_with_grad_accum_matches_fullbatch():
         up_params, st_ref.params)
 
 
+def test_pp_multifpc_step_matches_unsharded():
+    """Within-step multi-fpc semantics compose with the pipeline: every
+    bucket's encoder forwards run the GPipe schedule, and the update matches
+    the plain multifpc step."""
+    from vjepa2_tpu.train.pretrain import make_multifpc_train_step
+
+    enc = _encoder()
+    pred = VisionTransformerPredictor(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=64, predictor_embed_dim=64, depth=2, num_heads=2,
+        use_mask_tokens=True, num_mask_tokens=2, use_rope=True,
+        uniform_power=True, dtype=jnp.float32)
+    cfgs = [{"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+             "aspect_ratio": (0.75, 1.5), "num_blocks": 2}]
+    coll = MaskCollator(cfgs, dataset_fpcs=[2, T], crop_size=(S, S))
+    coll.step()
+    me2, mp2 = coll(2, B)
+    me4, mp4 = coll(T, B)
+    as_j = lambda t: tuple(jnp.asarray(m) for m in t)  # noqa: E731
+    me_tup = (as_j(me2), as_j(me4))
+    mp_tup = (as_j(mp2), as_j(mp4))
+    rs = np.random.RandomState(4)
+    clips_tup = (jnp.asarray(rs.rand(B, 2, S, S, 3), jnp.float32),
+                 jnp.asarray(rs.rand(B, T, S, S, 3), jnp.float32))
+    hp = PretrainHParams(epochs=1, ipe=10, warmup_epochs=0)
+    params, target = init_params(
+        enc, pred, 0, (B, T, S, S, 3), me_tup[1][0], mp_tup[1][0])
+
+    # ---- unsharded multifpc reference step
+    tx = make_optimizer(hp)
+    st_ref = TrainState.create(params, target, tx)
+    step_ref = jax.jit(make_multifpc_train_step(enc, pred, tx, hp,
+                                                num_mask_cfgs=1))
+    st_ref, m_ref = step_ref(st_ref, clips_tup, me_tup, mp_tup)
+
+    # ---- pipelined multifpc step on a pipe=4 x data=2 mesh
+    mesh = _mesh(pipe=4)
+    pp_params, pp_target = to_pp_params(params, target)
+    tx_pp = make_optimizer(hp, mask=pp_wd_mask)
+    st_pp = TrainState.create(pp_params, pp_target, tx_pp)
+    st_pp = shard_pp_state(st_pp, mesh)
+    step_pp = jax.jit(make_multifpc_train_step(
+        enc, pred, tx_pp, hp, num_mask_cfgs=1,
+        pp_mesh=mesh, pp_microbatches=2))
+    st_pp, m_pp = step_pp(st_pp, clips_tup, me_tup, mp_tup)
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    up_params, _ = from_pp_params(st_pp.params, st_pp.target_params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-4, atol=1e-6),
+        up_params, st_ref.params)
+
+
 def test_pp_wd_mask_matches_reference_rule():
     """Stacked-bias leaves (ndim 2 after stacking) must NOT get weight decay;
     stacked kernels (ndim >= 3) must."""

@@ -89,6 +89,23 @@ class TestPipelineLoop(unittest.TestCase):
                  "step": 3}
         self.assertIn("blocks_0", _extract_encoder_params(st_pp))
 
+    def test_pipeline_with_grad_accum_end_to_end(self):
+        """PP x grad_accum from YAML: the loop reshapes [A*B] batches into
+        accumulation microbatches and each runs the full GPipe pass."""
+        from vjepa2_tpu.core.config import load_config
+        from vjepa2_tpu.train.loop import Pretrainer
+
+        cfg = load_config(
+            os.path.join(REPO, "configs", "train", "smoke-pipeline.yaml"))
+        cfg.folder = "/tmp/vjepa2_tpu_smoke_pipeline_accum_test"
+        cfg.optimization.grad_accum = 2
+        cfg.optimization.ipe = 2
+        trainer = Pretrainer(cfg, synthetic_data=True)
+        self.assertTrue(trainer.pipeline)
+        self.assertEqual(trainer.grad_accum, 2)
+        result = trainer.run(epochs=1, log_every=1)
+        self.assertTrue(np.isfinite(result["loss"]))
+
     def test_pipeline_rejects_bad_compositions(self):
         from vjepa2_tpu.core.config import load_config
         from vjepa2_tpu.train.loop import Pretrainer

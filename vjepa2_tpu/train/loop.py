@@ -113,8 +113,6 @@ class Pretrainer:
             assert not c.model.context_parallel, (
                 "pipeline and ring-attention context parallelism both "
                 "re-schedule the block stack; pick one")
-            assert not c.optimization.multifpc_within_step, (
-                "pipeline v1 runs the per-fpc-bucket step")
             assert c.data.batch_size % c.mesh.pipe_microbatches == 0, (
                 f"batch {c.data.batch_size} not divisible by "
                 f"pipe_microbatches={c.mesh.pipe_microbatches}")
@@ -355,10 +353,15 @@ class Pretrainer:
         if "multifpc" not in self._step_fns:
             from vjepa2_tpu.train.pretrain import make_multifpc_train_step
 
+            pp = dict(
+                pp_mesh=self.mesh,
+                pp_microbatches=self.cfg.mesh.pipe_microbatches,
+                pp_remat=self.cfg.model.use_activation_checkpointing,
+            ) if self.pipeline else {}
             self._step_fns["multifpc"] = jit_train_step(
                 make_multifpc_train_step(
                     self.encoder, self.predictor, self.tx, self.hp,
-                    len(self.cfg.mask), norm_stats=self._norm_stats(),
+                    len(self.cfg.mask), norm_stats=self._norm_stats(), **pp,
                 ),
                 self.mesh,
             )

@@ -261,7 +261,9 @@ def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: S
 
 
 def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
-                             num_mask_cfgs: int, norm_stats=None):
+                             num_mask_cfgs: int, norm_stats=None,
+                             pp_mesh=None, pp_microbatches: int = 1,
+                             pp_remat: bool = True):
     """Reference within-step multi-fpc semantics (`app/vjepa/train.py:425-435`,
     `src/masks/multiseq_multiblock3d.py:63-74`): ONE optimizer step averages
     the JEPA loss over every (fpc-bucket x mask-config) pair and applies ONE
@@ -274,7 +276,31 @@ def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
     clips [B_i, T_i, H, W, C] and per-mask-config index tuples. mask_index
     for bucket ``bi`` mask-config ``mi`` is ``bi * num_mask_cfgs + mi`` —
     identical to the per-bucket step dispatch.
+
+    ``pp_mesh`` composes with pipeline parallelism: every bucket's encoder
+    forwards (target + per-mask context) run the GPipe schedule over the
+    mesh 'pipe' axis and the state uses the `core.pipeline.to_pp_params`
+    layout (each bucket batch must divide ``pp_microbatches``).
     """
+    if pp_mesh is not None:
+        from vjepa2_tpu.core.pipeline import make_pp_encode
+
+        encode_pp = make_pp_encode(encoder, pp_mesh, pp_microbatches,
+                                   remat=pp_remat)
+
+        def encode(enc_params, clips, masks=None):
+            return encode_pp(enc_params["encoder"],
+                             enc_params["encoder_blocks"], clips, masks)
+
+        def enc_of(params):
+            return {"encoder": params["encoder"],
+                    "encoder_blocks": params["encoder_blocks"]}
+    else:
+        def encode(enc_params, clips, masks=None):
+            return encoder.apply({"params": enc_params}, clips, masks)
+
+        def enc_of(params):
+            return params["encoder"]
 
     def train_step(state: TrainState, clips_tup, masks_enc_tup, masks_pred_tup):
         clips_tup = tuple(_device_normalize(c, encoder, norm_stats)
@@ -285,7 +311,7 @@ def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
 
         h_lists = []
         for clips, masks_pred in zip(clips_tup, masks_pred_tup):
-            h_all = encoder.apply({"params": state.target_params}, clips)
+            h_all = encode(state.target_params, clips)
             h_all = h_all.astype(jnp.float32)
             h_all = (h_all - h_all.mean(-1, keepdims=True)) / jnp.sqrt(
                 h_all.var(-1, keepdims=True) + 1e-6
@@ -299,7 +325,7 @@ def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
                 zip(clips_tup, masks_enc_tup, masks_pred_tup)
             ):
                 for mi, (me, mp) in enumerate(zip(masks_enc, masks_pred)):
-                    z = encoder.apply({"params": params["encoder"]}, clips, [me])
+                    z = encode(enc_of(params), clips, [me])
                     z = predictor.apply(
                         {"params": params["predictor"]}, z, me, mp,
                         bi * num_mask_cfgs + mi,
@@ -311,7 +337,7 @@ def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        target = ema_update(state.target_params, params["encoder"], momentum)
+        target = ema_update(state.target_params, enc_of(params), momentum)
         new_state = state.replace(
             step=state.step + 1, params=params, target_params=target, opt_state=opt_state
         )
