@@ -106,6 +106,49 @@ class TestPipelineLoop(unittest.TestCase):
         result = trainer.run(epochs=1, log_every=1)
         self.assertTrue(np.isfinite(result["loss"]))
 
+    def test_pipeline_checkpoint_resume_and_layout_mismatch(self):
+        """A PP run's orbax checkpoint (stacked 'encoder_blocks' layout)
+        resumes under the same layout — and flipping mesh.pipe on the run
+        folder raises the readable layout error, not a bare orbax tree
+        mismatch."""
+        import shutil
+
+        from vjepa2_tpu.core.config import load_config
+        from vjepa2_tpu.train.loop import Pretrainer
+
+        folder = "/tmp/vjepa2_tpu_smoke_pipeline_resume_test"
+        shutil.rmtree(folder, ignore_errors=True)
+        cfg = load_config(
+            os.path.join(REPO, "configs", "train", "smoke-pipeline.yaml"))
+        cfg.folder = folder
+        cfg.meta.load_checkpoint = True
+        cfg.optimization.ipe = 2
+        trainer = Pretrainer(cfg, synthetic_data=True)
+        result = trainer.run(epochs=1, log_every=1)
+        self.assertTrue(np.isfinite(result["loss"]))
+
+        # same layout -> resumes at the saved step
+        cfg2 = load_config(
+            os.path.join(REPO, "configs", "train", "smoke-pipeline.yaml"))
+        cfg2.folder = folder
+        cfg2.meta.load_checkpoint = True
+        cfg2.optimization.ipe = 2
+        trainer2 = Pretrainer(cfg2, synthetic_data=True)
+        state = trainer2.restore_or_init()
+        self.assertEqual(int(state.step), 2)
+
+        # flipped to the plain layout -> readable error naming mesh.pipe
+        cfg3 = load_config(
+            os.path.join(REPO, "configs", "train", "smoke-pipeline.yaml"))
+        cfg3.folder = folder
+        cfg3.meta.load_checkpoint = True
+        cfg3.mesh.pipe = 1
+        cfg3.mesh.pipe_microbatches = 1
+        cfg3.mesh.data = -1
+        trainer3 = Pretrainer(cfg3, synthetic_data=True)
+        with self.assertRaisesRegex(RuntimeError, "mesh.pipe"):
+            trainer3.restore_or_init()
+
     def test_pipeline_rejects_bad_compositions(self):
         from vjepa2_tpu.core.config import load_config
         from vjepa2_tpu.train.loop import Pretrainer
