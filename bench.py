@@ -623,7 +623,9 @@ def main():
                     help="default 8 (cooldown: 12 = 3 x bs4 microbatches)")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default 10 (cooldown: 4 — each step is a 3-pass "
+                         "accumulation at 64f)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--no-flash", action="store_true",
                     help="time the XLA attention path instead of the Pallas kernel")
@@ -663,10 +665,12 @@ def main():
             args.batch = 12
             if args.accum == 1:
                 args.accum = 3
-        if args.steps > 4:
+        if args.steps is None:
             args.steps = 4
     if args.batch is None:
         args.batch = 8
+    if args.steps is None:
+        args.steps = 10
     if args.frames is None:
         args.frames = 8 if args.mode == "ac" else 16
     if args.mode == "ac":

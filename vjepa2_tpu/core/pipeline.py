@@ -312,8 +312,8 @@ def make_pp_train_step(encoder, predictor, tx, hp, mesh: Mesh,
     ``grad_accum > 1`` composes with the schedule: each accumulation
     microbatch (leading [A] dim on the inputs) runs the full GPipe pass —
     pipe microbatching happens *inside* each accumulation step, so the
-    effective per-pass batch must still divide `n_microbatch` — and the
-    averaged gradients get ONE optimizer update (`train.accum`).
+    effective per-pass batch must still be divisible by `n_microbatch` —
+    and the averaged gradients get ONE optimizer update (`train.accum`).
     """
     import optax
 

@@ -296,10 +296,14 @@ class Pretrainer:
             try:
                 state = self.ckpt.restore(state)
             except (ValueError, KeyError) as e:
-                # the usual cause: flipping mesh.pipe on an existing run
-                # folder (pipeline runs store blocks stacked under
-                # 'encoder_blocks'; plain runs store blocks_i) — the orbax
-                # tree-structure error alone doesn't say why
+                # one specific failure deserves a better message: flipping
+                # mesh.pipe on an existing run folder (pipeline runs store
+                # blocks stacked under 'encoder_blocks'; plain runs store
+                # blocks_i). Orbax's tree-structure error names the
+                # offending keys; anything else (shape mismatch, corrupt
+                # checkpoint) propagates untouched.
+                if "encoder_blocks" not in str(e) and "blocks_" not in str(e):
+                    raise
                 raise RuntimeError(
                     f"checkpoint in {self.cfg.folder} does not match the "
                     f"configured param layout (mesh.pipe="
@@ -498,12 +502,18 @@ class Pretrainer:
                 target_params = state.target_params
                 if self.pipeline:
                     # evals consume the plain blocks_i layout; unstack the
-                    # pipeline's [depth, ...] leaves (gathers each stage's
-                    # shard once per eval, not per step)
+                    # pipeline's [depth, ...] leaves UNDER JIT with a
+                    # replicated output (eager a[i] indexing on pipe-sharded
+                    # leaves is not fully addressable on multi-process
+                    # runs); gathers once per eval, not per step
+                    from jax.sharding import NamedSharding, PartitionSpec
+
                     from vjepa2_tpu.core.pipeline import merge_block_params
 
-                    target_params = merge_block_params(
-                        target_params["encoder"], target_params["encoder_blocks"])
+                    target_params = jax.jit(
+                        merge_block_params,
+                        out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+                    )(target_params["encoder"], target_params["encoder_blocks"])
                 metrics = self.online_eval(
                     self.encoder, target_params, epoch,
                     predictor=self.predictor,

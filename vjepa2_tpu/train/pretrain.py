@@ -280,7 +280,7 @@ def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
     ``pp_mesh`` composes with pipeline parallelism: every bucket's encoder
     forwards (target + per-mask context) run the GPipe schedule over the
     mesh 'pipe' axis and the state uses the `core.pipeline.to_pp_params`
-    layout (each bucket batch must divide ``pp_microbatches``).
+    layout (each bucket batch must be divisible by ``pp_microbatches``).
     """
     if pp_mesh is not None:
         from vjepa2_tpu.core.pipeline import make_pp_encode
