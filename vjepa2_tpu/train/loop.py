@@ -308,8 +308,8 @@ class Pretrainer:
                     f"checkpoint in {self.cfg.folder} does not match the "
                     f"configured param layout (mesh.pipe="
                     f"{self.cfg.mesh.pipe}); resume with the layout the run "
-                    "was started with, or convert via core.pipeline."
-                    "to_pp_params/from_pp_params"
+                    "was started with, or convert the run folder: "
+                    "python tools/convert_pp_layout.py SRC DST --to pp|plain"
                 ) from e
             self.collator.set_step(int(state.step))
         return state
