@@ -76,12 +76,31 @@ def merge_block_params(rest: dict, stacked) -> dict:
     return out
 
 
-def stage_param_spec(leaf) -> P:
+def stage_param_spec(leaf, name: str = "", tp: bool = False) -> P:
     """Sharding for a stacked-block leaf: layer axis over 'pipe', ZeRO over
     'fsdp' on the largest remaining dim of matrices (a stacked 2-D kernel is
-    3-D; stacked biases/scales are 2-D and stay pipe-sharded only)."""
+    3-D; stacked biases/scales are 2-D and stay pipe-sharded only).
+
+    ``tp=True`` adds Megatron-style tensor parallelism over 'model' INSIDE
+    each stage (the schedule is manual only over 'pipe'; GSPMD keeps
+    auto-sharding the other axes within the shard_map region): stacked
+    column-parallel kernels (qkv / mlp-in) put 'model' on the output dim,
+    row-parallel (attn-proj / mlp-out) on the input dim — same rules as
+    `core.mesh.param_spec` shifted one dim for the layer axis.
+    """
     if leaf.ndim < 3:
         return P("pipe")
+    if tp and leaf.ndim == 3:
+        _, d_in, d_out = leaf.shape
+        is_qkv = "qkv/kernel" in name or name.endswith("kv/kernel")
+        col_parallel = is_qkv or ("mlp/fc1" in name) or (d_out > d_in and "mlp" in name)
+        row_parallel = ("attn/proj" in name) or ("mlp/fc3" in name) or (
+            "mlp/fc2" in name and d_out < d_in
+        )
+        if col_parallel:
+            return P("pipe", "fsdp", "model")
+        if row_parallel:
+            return P("pipe", "model", "fsdp")
     axis = 1 + int(np.argmax(leaf.shape[1:]))
     spec: list = [None] * leaf.ndim
     spec[0] = "pipe"
@@ -289,7 +308,8 @@ def shard_pp_state(state, mesh: Mesh):
         pstr = "/".join(
             str(getattr(k, "key", getattr(k, "name", k))) for k in path)
         if "encoder_blocks" in pstr and getattr(leaf, "ndim", 0) >= 1:
-            return jax.device_put(leaf, NamedSharding(mesh, stage_param_spec(leaf)))
+            return jax.device_put(
+                leaf, NamedSharding(mesh, stage_param_spec(leaf, pstr, tp=tp)))
         if getattr(leaf, "ndim", 0) >= 2:
             return jax.device_put(
                 leaf, NamedSharding(mesh, param_spec(path, leaf, tp=tp)))
