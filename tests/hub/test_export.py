@@ -50,3 +50,45 @@ def test_export_fixed_batch(tmp_path):
 def test_preprocessor_stats():
     s = hx.export_preprocessor_stats()
     assert len(s["mean"]) == 3 and len(s["std"]) == 3
+
+
+def test_export_world_model_roundtrip(tmp_path):
+    """The planning stack (frame encode + CEM plan) serializes to two
+    StableHLO programs and reproduces the live WorldModel exactly (same
+    seed -> identical plan; no model code on the load path)."""
+    from vjepa2_tpu.models.ac_predictor import VisionTransformerPredictorAC
+    from vjepa2_tpu.planning.cem import CEMConfig
+    from vjepa2_tpu.planning.world_model import WorldModel
+
+    enc, enc_vars = _tiny()
+    N, D = 4, 192  # 32/16=2 -> 2x2 tokens per 2-frame clip, vit_tiny width
+    pred = VisionTransformerPredictorAC(
+        img_size=(32, 32), patch_size=16, num_frames=2, tubelet_size=2,
+        embed_dim=D, predictor_embed_dim=64, depth=1, num_heads=2,
+        use_rope=True, dtype=jnp.float32)
+    reps = jnp.zeros((1, N, D), jnp.float32)
+    acts = jnp.zeros((1, 1, 7), jnp.float32)
+    pred_params = jax.jit(pred.init)(
+        jax.random.PRNGKey(1), reps, acts, acts)["params"]
+
+    wm = WorldModel(
+        enc, enc_vars["params"], pred, pred_params, tokens_per_frame=N,
+        cem_config=CEMConfig(rollout=1, cem_steps=2, samples=8, topk=2))
+    rs = np.random.RandomState(2)
+    frame = rs.rand(32, 32, 3).astype(np.float32)
+    rep = wm.encode(frame)
+    goal = wm.encode(rs.rand(32, 32, 3).astype(np.float32))
+    pose = np.zeros(7, np.float32)
+
+    out = hx.export_world_model(wm, str(tmp_path / "wm"))
+    assert os.path.exists(os.path.join(out, "plan.stablehlo"))
+    swm = hx.load_world_model(out)
+
+    got_rep = np.asarray(swm.encode(frame))
+    np.testing.assert_allclose(got_rep, np.asarray(rep), atol=1e-5, rtol=1e-5)
+
+    want_plan = np.asarray(wm.infer_next_action(
+        rep, pose, goal, rng=jax.random.PRNGKey(7)))
+    got_plan = swm.plan(got_rep, pose, np.asarray(goal), seed=7)
+    assert got_plan.shape == (1, 7)
+    np.testing.assert_allclose(got_plan, want_plan, atol=1e-5, rtol=1e-4)

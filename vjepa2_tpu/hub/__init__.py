@@ -13,12 +13,19 @@ from vjepa2_tpu.hub.converter import (
     convert_predictor,
     load_torch_checkpoint,
 )
-from vjepa2_tpu.hub.export import export_encoder, load_encoder
+from vjepa2_tpu.hub.export import (
+    export_encoder,
+    export_world_model,
+    load_encoder,
+    load_world_model,
+)
 from vjepa2_tpu.hub.preprocessor import Preprocessor, vjepa2_preprocessor
 
 __all__ = [
     "export_encoder",
     "load_encoder",
+    "export_world_model",
+    "load_world_model",
     "ARCH_NAME_MAP",
     "vjepa2_vit_large",
     "vjepa2_vit_huge",

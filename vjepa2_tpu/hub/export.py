@@ -114,6 +114,109 @@ def load_encoder(out_dir: str):
     return fn, meta
 
 
+def export_world_model(wm, out_dir: str,
+                       platforms: Optional[list] = None) -> str:
+    """Serialize a `planning.world_model.WorldModel` for serving.
+
+    Two StableHLO programs cover the robot control loop (reference hot loop
+    `notebooks/utils/mpc_utils.py:28-163`, which re-traces per call and
+    round-trips pose math through scipy):
+
+    * ``encode``: frame [H, W, 3] float32 -> latent tokens [N, D]
+    * ``plan``:   (seed int32, rep [N, D], pose [7], goal [N, D])
+                  -> planned actions [rollout, 7]
+
+    The CEM's RNG rides as an int32 seed (the PRNGKey is built inside the
+    exported program) so the serving side needs no jax key types. Encoder
+    and predictor params serialize alongside; `load_world_model` needs no
+    model code.
+    """
+    import jax.random as jrandom
+
+    enc = wm.encoder
+    H, W = enc.img_size
+    N, D = wm.tokens_per_frame, enc.embed_dim
+
+    def encode_fn(enc_params, frame):
+        return wm._encode_impl(enc_params, frame)
+
+    def plan_fn(pred_params, seed, rep, pose, goal):
+        return wm._cem(pred_params, jrandom.PRNGKey(seed), rep, pose, goal)
+
+    f32 = jnp.float32
+    enc_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        wm.enc_params)
+    pred_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        wm.pred_params)
+    kwargs = {"platforms": platforms} if platforms else {}
+    enc_exp = jexport.export(jax.jit(encode_fn), **kwargs)(
+        enc_specs, jax.ShapeDtypeStruct((H, W, 3), f32))
+    plan_exp = jexport.export(jax.jit(plan_fn), **kwargs)(
+        pred_specs, jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((N, D), f32), jax.ShapeDtypeStruct((7,), f32),
+        jax.ShapeDtypeStruct((N, D), f32))
+
+    from flax import serialization
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "encode.stablehlo"), "wb") as f:
+        f.write(enc_exp.serialize())
+    with open(os.path.join(out_dir, "plan.stablehlo"), "wb") as f:
+        f.write(plan_exp.serialize())
+    with open(os.path.join(out_dir, "enc_params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(wm.enc_params))
+    with open(os.path.join(out_dir, "pred_params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(wm.pred_params))
+    meta = {
+        "img_size": [int(H), int(W)], "tokens_per_frame": int(N),
+        "embed_dim": int(D), "normalize_reps": bool(wm.normalize_reps),
+        "preprocessor": export_preprocessor_stats(),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+class ServingWorldModel:
+    """Deserialized world model: `encode(frame)` + `plan(rep, pose, goal)`.
+
+    No model code, flax modules, or tracing — just the two StableHLO
+    programs and their param trees."""
+
+    def __init__(self, out_dir: str):
+        from flax import serialization
+
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        with open(os.path.join(out_dir, "encode.stablehlo"), "rb") as f:
+            self._encode = jexport.deserialize(f.read())
+        with open(os.path.join(out_dir, "plan.stablehlo"), "rb") as f:
+            self._plan = jexport.deserialize(f.read())
+        with open(os.path.join(out_dir, "enc_params.msgpack"), "rb") as f:
+            self._enc_params = jax.tree.map(
+                jnp.asarray, serialization.msgpack_restore(f.read()))
+        with open(os.path.join(out_dir, "pred_params.msgpack"), "rb") as f:
+            self._pred_params = jax.tree.map(
+                jnp.asarray, serialization.msgpack_restore(f.read()))
+
+    def encode(self, frame) -> jnp.ndarray:
+        return self._encode.call(self._enc_params,
+                                 jnp.asarray(frame, jnp.float32))
+
+    def plan(self, rep, pose, goal, seed: int = 0) -> np.ndarray:
+        out = self._plan.call(
+            self._pred_params, jnp.int32(seed), jnp.asarray(rep, jnp.float32),
+            jnp.asarray(pose, jnp.float32), jnp.asarray(goal, jnp.float32))
+        return np.asarray(out)
+
+
+def load_world_model(out_dir: str) -> ServingWorldModel:
+    return ServingWorldModel(out_dir)
+
+
 def export_preprocessor_stats() -> dict:
     """Serving-side normalization constants (match `hub/preprocessor.py`)."""
     from vjepa2_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
