@@ -1,5 +1,7 @@
-"""Step-level A/B of the fused LN+QKV(+RoPE) prologue (`ops/ln_qkv.py`,
-`models.modules.FUSE_LN_QKV`) on the full ViT-L bs8 16f@256 pretrain step.
+"""Step-level A/B of the fused LayerNorm prologues on the full ViT-L bs8
+16f@256 pretrain step: LN+QKV(+RoPE) (`ops/ln_qkv.py`, FUSE_LN_QKV) and
+LN+fc1+GELU (`ops/ln_mlp.py`, FUSE_LN_MLP), swept independently —
+4 variants (off/off, qkv, mlp, both).
 
 Both variants are traced in ONE process and interleaved across rounds
 (methodology v4: never A/B a <15% effect across processes — session drift
@@ -56,9 +58,11 @@ def main():
     me = tuple(jnp.asarray(x) for x in me)
     mp = tuple(jnp.asarray(x) for x in mp)
 
+    VARIANTS = [(False, False), (True, False), (False, True), (True, True)]
+
     fns = {}
-    for fuse in (False, True):
-        M.FUSE_LN_QKV = fuse  # read at trace time inside Block
+    for fuse in VARIANTS:
+        M.FUSE_LN_QKV, M.FUSE_LN_MLP = fuse  # read at trace time inside Block
         fns[fuse] = jax.jit(make_train_step(encoder, predictor, tx, hp),
                             donate_argnums=(0,))
 
@@ -68,10 +72,10 @@ def main():
         state, m = fns[fuse](state, clips, me, mp)
         return m["loss"]
 
-    # compile both (reuses the evolving state; first call per fn compiles)
+    # compile all variants (reuses the evolving state; first call compiles)
     c = jnp.float32(0.0)
-    for fuse in (False, True):
-        M.FUSE_LN_QKV = fuse
+    for fuse in VARIANTS:
+        M.FUSE_LN_QKV, M.FUSE_LN_MLP = fuse
         print(f"compiling fuse={fuse} (fresh fused ViT-L programs take "
               "3-10 min through the tunnel; cached ones seconds)...",
               flush=True)
@@ -83,9 +87,9 @@ def main():
         c = one(fuse, c) * 1e-30  # warmup (donation/layout shuffle)
         float(c)
 
-    best = {False: 1e9, True: 1e9}
+    best = {v: 1e9 for v in VARIANTS}
     for rnd in range(4):
-        for fuse in (False, True):
+        for fuse in VARIANTS:
             t0 = time.perf_counter()
             for _ in range(8):
                 c = one(fuse, c) * 1e-30
@@ -94,9 +98,12 @@ def main():
             best[fuse] = min(best[fuse], dt)
             print(f"round {rnd} fuse={fuse}: {dt * 1e3:.1f} ms/step",
                   flush=True)
-    print(f"RESULT unfused {best[False] * 1e3:.1f} ms/step | "
-          f"fused {best[True] * 1e3:.1f} ms/step | "
-          f"delta {(best[False] - best[True]) * 1e3:+.1f} ms", flush=True)
+    base = best[(False, False)]
+    names = {(False, False): "unfused", (True, False): "qkv",
+             (False, True): "mlp", (True, True): "both"}
+    print("RESULT " + " | ".join(
+        f"{names[v]} {best[v] * 1e3:.1f} ms/step"
+        f" ({(base - best[v]) * 1e3:+.1f})" for v in VARIANTS), flush=True)
 
 
 if __name__ == "__main__":

@@ -85,6 +85,53 @@ def test_fused_layernorm_on_device():
     jax.grad(lambda x: layer_norm(x, g, b).astype(jnp.float32).sum())(x)
 
 
+def test_ln_qkv_prologue_on_device():
+    """Fused LN+QKV(+RoPE) prologue kernel vs its XLA formulation on real
+    hardware (interpret-mode parity lives in test_ln_qkv.py)."""
+    from vjepa2_tpu.ops import ln_qkv as lq
+
+    rs = np.random.RandomState(5)
+    B, N, C, H, D = 2, 256, 512, 8, 64
+    x = jnp.asarray(rs.randn(B, N, C), jnp.bfloat16)
+    gamma = jnp.asarray(rs.rand(C) + 0.5, jnp.float32)
+    beta = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    w = jnp.asarray(rs.randn(C, 3 * H * D) * 0.05, jnp.bfloat16)
+    bias = jnp.asarray(rs.randn(3 * H * D) * 0.02, jnp.float32)
+    ang = rs.rand(1, N, D) * 6.28
+    rope = (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+    assert lq.supports(B, N, C, H, D), "gate must hold for this shape"
+    got = lq.ln_qkv(x, gamma, beta, w, bias, rope=rope, num_heads=H, head_dim=D)
+    ref = lq._xla_reference(x, gamma, beta, w, bias, rope, 1e-6, H, D)
+    for g, r, name in zip(got, ref, "qkv"):
+        err = float(jnp.max(jnp.abs(g.astype(jnp.float32) - r.astype(jnp.float32))))
+        assert err < 0.05, (name, err)
+    # gradient path executes on device
+    jax.grad(lambda x: sum(t.astype(jnp.float32).sum() for t in lq.ln_qkv(
+        x, gamma, beta, w, bias, rope=rope, num_heads=H, head_dim=D)))(x)
+
+
+def test_ln_mlp_prologue_on_device():
+    """Fused LN+fc1+GELU prologue on real hardware — also proves Mosaic
+    lowers `lax.erf` (the exact-GELU dependency)."""
+    from vjepa2_tpu.ops import ln_mlp as lm
+
+    rs = np.random.RandomState(6)
+    B, N, C, hidden = 2, 256, 512, 2048
+    x = jnp.asarray(rs.randn(B, N, C), jnp.bfloat16)
+    gamma = jnp.asarray(rs.rand(C) + 0.5, jnp.float32)
+    beta = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    w = jnp.asarray(rs.randn(C, hidden) * 0.05, jnp.bfloat16)
+    bias = jnp.asarray(rs.randn(hidden) * 0.02, jnp.float32)
+    assert lm.supports(B, N, C, hidden), "gate must hold for this shape"
+    got = lm.ln_mlp(x, gamma, beta, w, bias).astype(jnp.float32)
+    ref = lm._xla_reference(x, gamma, beta, w, bias, 1e-6).astype(jnp.float32)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 0.05, err
+    jax.grad(lambda x: lm.ln_mlp(x, gamma, beta, w, bias)
+             .astype(jnp.float32).sum())(x)
+
+
 def test_tiny_flash_train_step_runs():
     """One masked-pretrain step with use_flash on the device — covers the
     attend() padding dispatch and the custom VJP inside a real jit."""

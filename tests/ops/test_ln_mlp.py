@@ -1,0 +1,107 @@
+"""Fused LN+fc1+GELU prologue kernel (`ops/ln_mlp.py`) vs its unfused XLA
+reference — forward, full VJP (dx, dgamma, dbeta, dW, dbias), the off-kernel
+fallback, and the Block-level FUSE_LN_MLP wiring (param-tree compatible,
+output parity). Reference neighborhood: `src/models/utils/modules.py`
+Block.forward (``x + mlp(norm2(x))`` with exact GELU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vjepa2_tpu.ops import ln_mlp as lm
+
+
+def _args(B=2, N=64, C=128, hidden=256, dtype=jnp.float32, seed=0):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(B, N, C), dtype)
+    gamma = jnp.asarray(rs.rand(C) + 0.5, jnp.float32)
+    beta = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    w = jnp.asarray(rs.randn(C, hidden) * 0.05, dtype)
+    bias = jnp.asarray(rs.randn(hidden) * 0.02, jnp.float32)
+    return x, gamma, beta, w, bias
+
+
+def test_gelu_exact_matches_flax():
+    import flax.linen as nn
+
+    z = jnp.asarray(np.linspace(-6, 6, 512, dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(lm._gelu_exact(z)),
+        np.asarray(nn.gelu(z, approximate=False)), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_forward_parity(dtype):
+    x, gamma, beta, w, bias = _args(dtype=dtype)
+    got = lm.ln_mlp(x, gamma, beta, w, bias, interpret=True)
+    ref = lm._xla_reference(x, gamma, beta, w, bias, 1e-6)
+    assert got.shape == ref.shape == (2, 64, 256)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=tol, rtol=tol)
+
+
+def test_forward_parity_hidden_tiled():
+    # hidden > DEFAULT_BLOCK_H exercises the hidden-dim grid axis (LN stats
+    # recomputed per hidden block must stay bit-consistent)
+    x, gamma, beta, w, bias = _args(hidden=1024, seed=3)
+    got = lm.ln_mlp(x, gamma, beta, w, bias, block_h=256, interpret=True)
+    ref = lm._xla_reference(x, gamma, beta, w, bias, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_grad_parity():
+    x, gamma, beta, w, bias = _args(seed=1)
+    rs = np.random.RandomState(2)
+    gh = jnp.asarray(rs.randn(2, 64, 256), jnp.float32)
+
+    def loss(fn):
+        def f(x, gamma, beta, w, bias):
+            return jnp.sum(fn(x, gamma, beta, w, bias) * gh)
+        return f
+
+    fused = loss(lambda *a: lm.ln_mlp(*a, interpret=True))
+    ref = loss(lambda *a: lm._xla_reference(*a, 1e-6))
+    gf = jax.grad(fused, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w, bias)
+    gr = jax.grad(ref, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w, bias)
+    names = ["dx", "dgamma", "dbeta", "dW", "dbias"]
+    for n, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
+
+
+def test_fallback_off_kernel():
+    # C not lane-aligned -> unfused formulation without error
+    x, gamma, beta, w, bias = _args(N=60, C=120, hidden=200)
+    got = lm.ln_mlp(x, gamma, beta, w, bias)
+    ref = lm._xla_reference(x, gamma, beta, w, bias, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_block_wiring_parity():
+    """Block with FUSE_LN_MLP on/off: same param tree (checkpoints load in
+    either mode) and matching outputs."""
+    import vjepa2_tpu.models.modules as M
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 64), jnp.float32)
+    blk = M.Block(dim=64, num_heads=4, mlp_ratio=4.0, dtype=jnp.float32)
+
+    prev = M.FUSE_LN_MLP
+    try:
+        M.FUSE_LN_MLP = False
+        params = blk.init(jax.random.PRNGKey(0), x)
+        out_plain = blk.apply(params, x)
+        M.FUSE_LN_MLP = True
+        params_fused = blk.init(jax.random.PRNGKey(0), x)
+        out_fused = blk.apply(params, x)
+    finally:
+        M.FUSE_LN_MLP = prev
+
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_fused))
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_fused),
+                               atol=2e-5, rtol=2e-5)

@@ -63,6 +63,12 @@ def scaled_trunc_normal(std: float, scale: float):
 # boundary clean. Flip here for step-level A/B (scripts/probe_regress.py).
 FUSE_LN_QKV = False
 
+# Sibling flag: fuse the pre-MLP LayerNorm + fc1 projection + exact GELU
+# into one pallas kernel (`ops/ln_mlp.py`) inside Block. Same rationale and
+# same caution (flag-gated pending the step-level A/B on hardware —
+# `scripts/probe_ln_qkv_step.py` sweeps both flags).
+FUSE_LN_MLP = False
+
 # Diagnostic knob (scripts/probe_step_buckets.py): False runs LayerNorm in
 # the compute dtype to measure what the fp32 upcast+reduce costs at step
 # level. Production keeps True — the reference's autocast leaves LN in fp32.
@@ -104,6 +110,24 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-compatible param pair (kernel [in, out] + bias)
+    without applying it — same tree as the Dense it stands in for, so a
+    checkpoint written by either path loads in the other. Used by the fused
+    LN+fc1 prologue (`ops/ln_mlp.py`), mirroring `_QKVProjBHND`."""
+
+    features: int
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", trunc_normal(self.init_std),
+                            (in_dim, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: Optional[int] = None
@@ -112,17 +136,30 @@ class Mlp(nn.Module):
     out_init_scale: float = 1.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(
-            self.hidden_dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal(self.init_std),
-            bias_init=nn.initializers.zeros,
-            name="fc1",
-        )(x)
-        x = nn.gelu(x, approximate=False)
+        if ln is not None:
+            # fused LN+fc1+GELU prologue (`ops/ln_mlp.py`): x is the
+            # PRE-LayerNorm residual stream; the LN intermediate and the
+            # pre-GELU activation never exist in HBM. Only reachable from
+            # Block's FUSE_LN_MLP gate.
+            from vjepa2_tpu.ops import ln_mlp as lnm
+
+            kernel, bias = _DenseParams(
+                features=self.hidden_dim, init_std=self.init_std, name="fc1",
+            )(x.shape[-1])
+            x = lnm.ln_mlp(x, ln[0], ln[1], kernel.astype(self.dtype),
+                           bias.astype(jnp.float32))
+        else:
+            x = nn.Dense(
+                self.hidden_dim,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal(self.init_std),
+                bias_init=nn.initializers.zeros,
+                name="fc1",
+            )(x)
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(
             out_dim,
             dtype=self.dtype,
@@ -582,7 +619,7 @@ class Block(nn.Module):
         )(y, pos_ids=pos_ids, attn_mask=attn_mask, h_patches=h_patches, w_patches=w_patches,
           rope_cache=rope_cache, rope_expanded=rope_expanded, ln_params=ln_params)
         x = x + maybe_drop(y)
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        norm2 = LayerNorm(dtype=self.dtype, name="norm2")
         hidden = int(self.dim * self.mlp_ratio)
         if self.use_silu:
             y = SwiGLUFFN(
@@ -592,7 +629,17 @@ class Block(nn.Module):
                 init_std=self.init_std,
                 out_init_scale=rescale,
                 name="mlp",
-            )(y)
+            )(norm2(x))
+        elif FUSE_LN_MLP:
+            # fused LN+fc1+GELU prologue (`ops/ln_mlp.py`); pallas only
+            # where `ln_mlp.supports` holds, XLA-equivalent math otherwise
+            y = Mlp(
+                hidden_dim=hidden,
+                dtype=self.dtype,
+                init_std=self.init_std,
+                out_init_scale=rescale,
+                name="mlp",
+            )(x, ln=norm2(x, return_params=True))
         else:
             y = Mlp(
                 hidden_dim=hidden,
@@ -600,7 +647,7 @@ class Block(nn.Module):
                 init_std=self.init_std,
                 out_init_scale=rescale,
                 name="mlp",
-            )(y)
+            )(norm2(x))
         return x + maybe_drop(y)
 
 
