@@ -637,7 +637,21 @@ def main():
     ap.add_argument("--accum", type=int, default=1,
                     help="pretrain/cooldown: gradient-accumulation microbatches "
                          "per optimizer step (scan; one update)")
+    ap.add_argument("--fuse-ln", default="",
+                    help="comma list of LN prologue fusions to enable for "
+                         "this capture: 'qkv' (ops/ln_qkv.py), 'mlp' "
+                         "(ops/ln_mlp.py), or 'qkv,mlp' (default: neither — "
+                         "flip after the step A/B wins)")
     args = ap.parse_args()
+    if args.fuse_ln:
+        import vjepa2_tpu.models.modules as _M
+
+        sel = {s.strip() for s in args.fuse_ln.split(",") if s.strip()}
+        unknown = sel - {"qkv", "mlp"}
+        if unknown:
+            ap.error(f"--fuse-ln: unknown fusion(s) {sorted(unknown)}")
+        _M.FUSE_LN_QKV = "qkv" in sel
+        _M.FUSE_LN_MLP = "mlp" in sel
     _require_backend()
 
     # Mode-aware defaults. AC post-training trains encoder AND predictor

@@ -105,3 +105,31 @@ def test_block_wiring_parity():
             == jax.tree_util.tree_structure(params_fused))
     np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_fused),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_ac_block_wiring_parity():
+    """ACBlock (the AC predictor's block) rides the same FUSE_LN_MLP gate."""
+    import vjepa2_tpu.models.modules as M
+
+    T, hp_, wp_, A = 2, 2, 2, 2
+    N = T * (A + hp_ * wp_)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, N, 64), jnp.float32)
+    blk = M.ACBlock(dim=64, num_heads=4, mlp_ratio=4.0, grid_size=hp_,
+                    dtype=jnp.float32)
+    kw = dict(T=T, h_patches=hp_, w_patches=wp_, cond_tokens=A)
+
+    prev = M.FUSE_LN_MLP
+    try:
+        M.FUSE_LN_MLP = False
+        params = blk.init(jax.random.PRNGKey(0), x, **kw)
+        out_plain = blk.apply(params, x, **kw)
+        M.FUSE_LN_MLP = True
+        params_fused = blk.init(jax.random.PRNGKey(0), x, **kw)
+        out_fused = blk.apply(params, x, **kw)
+    finally:
+        M.FUSE_LN_MLP = prev
+
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_fused))
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_fused),
+                               atol=2e-5, rtol=2e-5)

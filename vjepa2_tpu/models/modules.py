@@ -686,7 +686,7 @@ class ACBlock(nn.Module):
         )(y, T=T, h_patches=h_patches, w_patches=w_patches, cond_tokens=cond_tokens,
           rope_cache=rope_cache)
         x = x + y
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        norm2 = LayerNorm(dtype=self.dtype, name="norm2")
         hidden = int(self.dim * self.mlp_ratio)
         if self.use_silu:
             y = SwiGLUFFN(
@@ -696,7 +696,16 @@ class ACBlock(nn.Module):
                 init_std=self.init_std,
                 out_init_scale=rescale,
                 name="mlp",
-            )(y)
+            )(norm2(x))
+        elif FUSE_LN_MLP:
+            # same fused LN+fc1+GELU prologue as Block (`ops/ln_mlp.py`)
+            y = Mlp(
+                hidden_dim=hidden,
+                dtype=self.dtype,
+                init_std=self.init_std,
+                out_init_scale=rescale,
+                name="mlp",
+            )(x, ln=norm2(x, return_params=True))
         else:
             y = Mlp(
                 hidden_dim=hidden,
@@ -704,7 +713,7 @@ class ACBlock(nn.Module):
                 init_std=self.init_std,
                 out_init_scale=rescale,
                 name="mlp",
-            )(y)
+            )(norm2(x))
         return x + y
 
 
