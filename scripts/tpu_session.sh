@@ -8,8 +8,13 @@ cd "$(dirname "$0")/.."
 # 0. backend sanity (fails fast if the tunnel is still down)
 timeout 300 python -c "import jax; print('devices:', jax.devices())" || exit 1
 
-# 1. LN+QKV fused-prologue step A/B (ROADMAP #1) — the round's top perf item
+# 1. LN-prologue step A/B (ROADMAP #1) — the round's top perf item; sweeps
+#    FUSE_LN_QKV x FUSE_LN_MLP (4 variants, interleaved in one process)
 timeout 3600 python -u scripts/probe_ln_qkv_step.py
+
+# 1b. standalone fused pretrain capture (driver-format JSON for the record;
+#     compare its ms_per_step against the default capture in step 3)
+timeout 1800 python bench.py --mode pretrain --fuse-ln qkv,mlp
 
 # 2. hardware-gated flash kernel tests (regression check after any wiring)
 timeout 1800 env VJEPA2_TEST_TPU=1 python -m pytest tests/ops/test_flash_tpu.py -q
