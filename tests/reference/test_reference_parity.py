@@ -67,6 +67,34 @@ def test_vit_large_rope_full(ref_large_rope, ours_large_rope):
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-3)
 
 
+def test_vit_large_rope_full_ln_fused(ref_large_rope, ours_large_rope):
+    """Released-checkpoint fidelity holds with the LN prologue fusions on
+    (FUSE_LN_QKV / FUSE_LN_MLP): off-TPU they run the fused ops'
+    XLA-equivalent math, whose kernel parity is pinned interpret-mode in
+    tests/ops/test_ln_{qkv,mlp}.py — together the chain proves the fused
+    step reproduces the reference forward."""
+    import vjepa2_tpu.models.modules as M
+
+    x, xt = _clips()
+    with torch.no_grad():
+        ref = ref_large_rope(xt).numpy()
+    # use_flash=True engages the FUSE_LN_QKV gate (pre-expanded rope tables
+    # + head_perm); the same converted params apply
+    enc = MODEL_REGISTRY["vit_large"](
+        img_size=(S, S), num_frames=T, tubelet_size=2, use_rope=True,
+        use_flash=True,
+    )
+    _, variables = ours_large_rope
+    prev = (M.FUSE_LN_QKV, M.FUSE_LN_MLP)
+    try:
+        M.FUSE_LN_QKV = True
+        M.FUSE_LN_MLP = True
+        out = enc.apply(variables, jnp.asarray(x))
+    finally:
+        M.FUSE_LN_QKV, M.FUSE_LN_MLP = prev
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-3)
+
+
 def test_vit_large_rope_masked(ref_large_rope, ours_large_rope):
     x, xt = _clips(seed=1)
     masks = [np.array([[0, 2, 5], [1, 3, 7]]), np.array([[4, 6, 7], [0, 5, 6]])]
