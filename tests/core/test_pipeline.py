@@ -41,9 +41,9 @@ def _encoder(**kw):
         uniform_power=True, dtype=jnp.float32, **kw)
 
 
-def _mesh(pipe, model=1):
+def _mesh(pipe, model=1, fsdp=1):
     n = jax.device_count()
-    return make_mesh(MeshConfig(data=n // (pipe * model), fsdp=1,
+    return make_mesh(MeshConfig(data=n // (pipe * model * fsdp), fsdp=fsdp,
                                 model=model, pipe=pipe),
                      devices=jax.devices()[:n])
 
@@ -273,6 +273,57 @@ def test_pp_train_step_with_tensor_parallel():
     # Adam's per-parameter normalization amplifies the ~1e-7 grad diffs to
     # ~1e-5 on the updated params (measured; loss/grad_norm match to 1e-7)
     up_params, _ = from_pp_params(st_pp.params, st_pp.target_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-3),
+        up_params, st_ref.params)
+
+
+def test_pp_train_step_all_four_axes():
+    """The full mesh: pipe=2 x model=2 x fsdp=2 x data=1 in one program —
+    GPipe schedule manual over 'pipe', Megatron TP + ZeRO param sharding
+    auto inside each stage. Update equals the unsharded step."""
+    enc = _encoder()
+    pred = VisionTransformerPredictor(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=64, predictor_embed_dim=64, depth=2, num_heads=2,
+        use_mask_tokens=True, num_mask_tokens=2, use_rope=True,
+        uniform_power=True, dtype=jnp.float32)
+    cfgs = [{"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+             "aspect_ratio": (0.75, 1.5), "num_blocks": 2}]
+    coll = MaskCollator(cfgs, dataset_fpcs=[T], crop_size=(S, S))
+    coll.step()
+    me, mp = coll(T, B)
+    me = tuple(jnp.asarray(m) for m in me)
+    mp = tuple(jnp.asarray(m) for m in mp)
+    clips = jnp.asarray(np.random.RandomState(7).rand(B, T, S, S, 3),
+                        jnp.float32)
+    hp = PretrainHParams(epochs=1, ipe=10, warmup_epochs=0)
+    params, target = init_params(enc, pred, 0, (B, T, S, S, 3), me[0], mp[0])
+
+    tx = make_optimizer(hp)
+    st_ref = TrainState.create(params, target, tx)
+    step_ref = jax.jit(make_train_step(enc, pred, tx, hp))
+    st_ref, m_ref = step_ref(st_ref, clips, me, mp)
+
+    mesh = _mesh(pipe=2, model=2, fsdp=2)
+    pp_params, pp_target = to_pp_params(params, target)
+    tx_pp = make_optimizer(hp, mask=pp_wd_mask)
+    st_pp = TrainState.create(pp_params, pp_target, tx_pp)
+    st_pp = shard_pp_state(st_pp, mesh)
+    qkv = st_pp.params["encoder_blocks"]["attn"]["qkv"]["kernel"]
+    spec = str(qkv.sharding.spec)
+    assert "model" in spec and "fsdp" in spec, spec
+    step_pp = jax.jit(
+        make_pp_train_step(enc, pred, tx_pp, hp, mesh, n_microbatch=2))
+    st_pp, m_pp = step_pp(st_pp, clips, me, mp)
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_pp["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-5)
+    up_params, _ = from_pp_params(st_pp.params, st_pp.target_params)
+    # same measured Adam-amplified reduction-order tolerance as the TP test
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-3),

@@ -66,6 +66,31 @@ def test_grad_parity():
                                    atol=5e-4, rtol=5e-4, err_msg=n)
 
 
+def test_pick_block_hardware_legal():
+    """Mosaic tiles the last two block dims only when (8k, 128k)-divisible
+    or array-equal; the picker must never emit anything else (the old
+    version returned 34 for n=306, which interpret mode accepts but the
+    hardware compiler rejects)."""
+    # sublane picker: multiples of 8, else array-equal, else 0
+    assert lq._pick_block(256, 256) == 256
+    assert lq._pick_block(304, 256) == 152      # 8*19 divides 304
+    assert lq._pick_block(306, 256) == 0        # no 8-multiple divisor
+    assert lq._pick_block(6, 256) == 6          # block == array is legal
+    # lane picker: multiples of 128, else array-equal, else 0
+    assert lq._pick_block_lane(512, 512) == 512
+    assert lq._pick_block_lane(640, 512) == 128
+    assert lq._pick_block_lane(306, 512) == 306  # array-equal
+    assert lq._pick_block_lane(306 * 3, 512) == 0
+    # supports() turns a 0 into the XLA fallback
+    assert not lq.supports(2, 306, 128, 4, 16)
+    # interpret mode still runs irregular N (block falls back to full axis)
+    x, gamma, beta, w, bias, rp, H, D = _args(N=306, rope=False)
+    q, k, v = lq.ln_qkv(x, gamma, beta, w, bias, num_heads=H, head_dim=D,
+                        interpret=True)
+    ref = lq._xla_reference(x, gamma, beta, w, bias, None, 1e-6, H, D)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref[0]), atol=2e-5)
+
+
 def test_fallback_off_kernel():
     # N not block-decomposable / C not lane-aligned -> falls back to the
     # unfused formulation without error

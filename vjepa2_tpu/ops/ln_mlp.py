@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vjepa2_tpu.ops.ln_qkv import _pick_block
+from vjepa2_tpu.ops.ln_qkv import _pick_block, _pick_block_lane
 
 DEFAULT_BLOCK_N = 256
 DEFAULT_BLOCK_H = 512
@@ -179,7 +179,7 @@ def supports(batch: int, n: int, c: int, hidden: int) -> bool:
     if c % 128 != 0 or hidden % 128 != 0:
         return False
     return (_pick_block(n, DEFAULT_BLOCK_N) >= 8
-            and _pick_block(hidden, DEFAULT_BLOCK_H) >= 128)
+            and _pick_block_lane(hidden, DEFAULT_BLOCK_H) >= 128)
 
 
 def ln_mlp(x, gamma, beta, w, bias, eps: float = 1e-6,
@@ -195,8 +195,10 @@ def ln_mlp(x, gamma, beta, w, bias, eps: float = 1e-6,
     hidden = w.shape[1]
     if (not supports(B, N, C, hidden)) and not interpret:
         return _xla_reference(x, gamma, beta, w, bias, eps)
-    bn = _pick_block(N, block_n)
-    bh = _pick_block(hidden, block_h)
+    # `or N`/`or hidden`: interpret mode bypasses supports(); 0 means "no
+    # hardware-legal block", but any block is legal interpreted.
+    bn = _pick_block(N, block_n) or N
+    bh = _pick_block_lane(hidden, block_h) or hidden
     return _ln_mlp_core(
         x, gamma.astype(jnp.float32), beta.astype(jnp.float32), w,
         bias.astype(jnp.float32), eps, bn, bh, interpret,

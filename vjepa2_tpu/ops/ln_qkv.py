@@ -40,11 +40,30 @@ DEFAULT_BLOCK_N = 256
 
 
 def _pick_block(n: int, target: int) -> int:
-    best = 1
-    for b in range(1, min(n, target) + 1):
-        if n % b == 0 and (b % 8 == 0 or best < 8):
-            best = max(best, b)
-    return best
+    """Largest divisor of ``n`` <= ``target`` that Mosaic can tile as a
+    SUBLANE dim: a multiple of 8, or ``n`` itself (block == array is always
+    legal). Returns 0 when neither exists — callers' ``supports()`` gates
+    turn that into the XLA fallback. (The old version could return e.g. 34
+    for n=306 — a divisor that is neither 8-aligned nor array-equal, which
+    interpret mode accepts but the hardware compiler rejects.)"""
+    best = 0
+    for b in range(8, min(n, target) + 1, 8):
+        if n % b == 0:
+            best = b
+    if best:
+        return best
+    return n if n <= target else 0
+
+
+def _pick_block_lane(n: int, target: int) -> int:
+    """Same for a LANE dim: a multiple of 128, or ``n`` itself."""
+    best = 0
+    for b in range(128, min(n, target) + 1, 128):
+        if n % b == 0:
+            best = b
+    if best:
+        return best
+    return n if n <= target else 0
 
 
 def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, cos_ref, sin_ref,
@@ -265,7 +284,9 @@ def ln_qkv(x, gamma, beta, w, bias, rope=None, eps: float = 1e-6,
         return _xla_reference(x, gamma, beta, w, bias,
                               None if cos is None else (cos, sin),
                               eps, num_heads, head_dim)
-    bn = _pick_block(N, block_n)
+    # `or N`: interpret mode bypasses supports(), and _pick_block returns 0
+    # when no hardware-legal block exists — any block is legal interpreted.
+    bn = _pick_block(N, block_n) or N
     return _ln_qkv_core(
         x, gamma.astype(jnp.float32), beta.astype(jnp.float32), w,
         bias.astype(jnp.float32), cos, sin,
