@@ -9,8 +9,11 @@ is +-10%). The two jitted programs share one donated TrainState, so HBM
 holds a single state; rounds alternate A/B on the evolving state.
 
 Run: timeout 3000 python -u scripts/probe_ln_qkv_step.py
+(--tiny: vit_tiny on CPU-scale shapes — a pre-flight smoke of the whole
+sweep so a rare tunnel window is never spent on a script bug.)
 """
 
+import argparse
 import os
 import sys
 import time
@@ -38,10 +41,28 @@ MASK_CFGS = [
 
 
 def main():
-    B, T, S = 8, 16, 256
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU-scale smoke of the full 4-variant sweep")
+    ap.add_argument("--rounds", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+    if args.tiny:
+        # sitecustomize registers the axon TPU backend at interpreter
+        # startup and wins over JAX_PLATFORMS env vars; a CPU smoke must
+        # override via jax.config or it hangs on a dead tunnel.
+        jax.config.update("jax_platforms", "cpu")
+        B, T, S, name = 2, 4, 64, "vit_tiny"
+        pred_dim, pred_heads, pred_depth = 96, 3, 2
+        rounds, iters = args.rounds or 1, args.iters or 2
+    else:
+        B, T, S, name = 8, 16, 256, "vit_large"
+        pred_dim, pred_heads, pred_depth = 384, 12, 12
+        rounds, iters = args.rounds or 4, args.iters or 8
     encoder, predictor = build_models(
-        model_name="vit_large", crop_size=S, num_frames=T,
-        pred_depth=12, pred_embed_dim=384, pred_num_heads=12,
+        model_name=name, crop_size=S, num_frames=T,
+        pred_depth=pred_depth, pred_embed_dim=pred_dim,
+        pred_num_heads=pred_heads,
         use_rope=True, num_mask_tokens=2, use_flash=True, dtype=jnp.bfloat16,
     )
     coll = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
@@ -88,13 +109,13 @@ def main():
         float(c)
 
     best = {v: 1e9 for v in VARIANTS}
-    for rnd in range(4):
+    for rnd in range(rounds):
         for fuse in VARIANTS:
             t0 = time.perf_counter()
-            for _ in range(8):
+            for _ in range(iters):
                 c = one(fuse, c) * 1e-30
             float(c)
-            dt = (time.perf_counter() - t0) / 8
+            dt = (time.perf_counter() - t0) / iters
             best[fuse] = min(best[fuse], dt)
             print(f"round {rnd} fuse={fuse}: {dt * 1e3:.1f} ms/step",
                   flush=True)

@@ -27,8 +27,10 @@ timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12
 timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12 --u8
 
 # 5. fresh device-trace attribution of the pretrain step (ground truth for
-#    the next perf decision: LN bucket, elementwise bucket, copies)
+#    the next perf decision: LN bucket, elementwise bucket, copies) — both
+#    the default step and the fully LN-fused variant
 timeout 1700 python -u scripts/trace_step.py
+timeout 1700 python -u scripts/trace_step.py --fuse-ln qkv,mlp
 
 # 6. AC + CEM MFU accounting (VERDICT r2 #6: numbers land in ROADMAP)
 timeout 1800 python bench.py --mode ac

@@ -4,9 +4,11 @@ Captures jax.profiler.trace of a few steps, parses the TPU device lane from
 plugins/profile/*/*.trace.json.gz, and prints per-op-class totals so the
 537 ms step is attributed with names instead of guesses.
 
-Run: timeout 1700 python -u scripts/trace_step.py
+Run: timeout 1700 python -u scripts/trace_step.py [--fuse-ln qkv,mlp]
+(--fuse-ln mirrors bench.py: trace the LN-prologue-fused step variant.)
 """
 
+import argparse
 import glob
 import gzip
 import json
@@ -58,7 +60,17 @@ def classify(name: str) -> str:
 
 
 def main():
-    trace_dir = "/tmp/jax_trace_step"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fuse-ln", default="",
+                    help="comma list of LN prologues to fuse: qkv,mlp")
+    args = ap.parse_args()
+    sel = {s.strip() for s in args.fuse_ln.split(",") if s.strip()}
+    if sel - {"qkv", "mlp"}:
+        raise SystemExit(f"unknown --fuse-ln entries: {sel - {'qkv', 'mlp'}}")
+    import vjepa2_tpu.models.modules as _M
+    _M.FUSE_LN_QKV = "qkv" in sel
+    _M.FUSE_LN_MLP = "mlp" in sel
+    trace_dir = "/tmp/jax_trace_step" + ("_" + "_".join(sorted(sel)) if sel else "")
     os.system(f"rm -rf {trace_dir}")
 
     encoder, predictor = build_models(
