@@ -644,14 +644,12 @@ def main():
                          "flip after the step A/B wins)")
     args = ap.parse_args()
     if args.fuse_ln:
-        import vjepa2_tpu.models.modules as _M
+        from vjepa2_tpu.models.modules import set_ln_fusions
 
-        sel = {s.strip() for s in args.fuse_ln.split(",") if s.strip()}
-        unknown = sel - {"qkv", "mlp"}
-        if unknown:
-            ap.error(f"--fuse-ln: unknown fusion(s) {sorted(unknown)}")
-        _M.FUSE_LN_QKV = "qkv" in sel
-        _M.FUSE_LN_MLP = "mlp" in sel
+        try:
+            set_ln_fusions(args.fuse_ln)
+        except ValueError as e:
+            ap.error(f"--fuse-ln: {e}")
     _require_backend()
 
     # Mode-aware defaults. AC post-training trains encoder AND predictor

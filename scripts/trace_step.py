@@ -64,12 +64,12 @@ def main():
     ap.add_argument("--fuse-ln", default="",
                     help="comma list of LN prologues to fuse: qkv,mlp")
     args = ap.parse_args()
-    sel = {s.strip() for s in args.fuse_ln.split(",") if s.strip()}
-    if sel - {"qkv", "mlp"}:
-        raise SystemExit(f"unknown --fuse-ln entries: {sel - {'qkv', 'mlp'}}")
     import vjepa2_tpu.models.modules as _M
-    _M.FUSE_LN_QKV = "qkv" in sel
-    _M.FUSE_LN_MLP = "mlp" in sel
+    try:
+        _M.set_ln_fusions(args.fuse_ln)
+    except ValueError as e:
+        raise SystemExit(f"--fuse-ln: {e}")
+    sel = {s.strip() for s in args.fuse_ln.split(",") if s.strip()}
     trace_dir = "/tmp/jax_trace_step" + ("_" + "_".join(sorted(sel)) if sel else "")
     os.system(f"rm -rf {trace_dir}")
 

@@ -92,3 +92,51 @@ def test_export_world_model_roundtrip(tmp_path):
     got_plan = swm.plan(got_rep, pose, np.asarray(goal), seed=7)
     assert got_plan.shape == (1, 7)
     np.testing.assert_allclose(got_plan, want_plan, atol=1e-5, rtol=1e-4)
+
+
+def test_export_world_model_preprocessor(tmp_path):
+    """A WorldModel built with the hub Preprocessor must serve raw frames
+    identically: the export records the preprocessor in meta.json and
+    ServingWorldModel.encode re-applies it host-side (it cannot ride the
+    StableHLO program — resize input shapes are data-dependent)."""
+    import pytest
+
+    from vjepa2_tpu.hub.preprocessor import vjepa2_preprocessor
+    from vjepa2_tpu.models.ac_predictor import VisionTransformerPredictorAC
+    from vjepa2_tpu.planning.cem import CEMConfig
+    from vjepa2_tpu.planning.world_model import WorldModel
+
+    enc, enc_vars = _tiny()
+    N, D = 4, 192
+    pred = VisionTransformerPredictorAC(
+        img_size=(32, 32), patch_size=16, num_frames=2, tubelet_size=2,
+        embed_dim=D, predictor_embed_dim=64, depth=1, num_heads=2,
+        use_rope=True, dtype=jnp.float32)
+    reps = jnp.zeros((1, N, D), jnp.float32)
+    acts = jnp.zeros((1, 1, 7), jnp.float32)
+    pred_params = jax.jit(pred.init)(
+        jax.random.PRNGKey(1), reps, acts, acts)["params"]
+
+    wm = WorldModel(
+        enc, enc_vars["params"], pred, pred_params, tokens_per_frame=N,
+        preprocessor=vjepa2_preprocessor(crop_size=32),
+        cem_config=CEMConfig(rollout=1, cem_steps=1, samples=4, topk=2))
+
+    # raw camera frame: odd size, uint8 — the preprocessor's whole job
+    raw = np.random.RandomState(3).randint(0, 255, (48, 40, 3), np.uint8)
+    want = np.asarray(wm.encode(raw))
+
+    out = hx.export_world_model(wm, str(tmp_path / "wmpp"))
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["frame_preprocessor"] == {"kind": "vjepa2", "crop_size": 32}
+    swm = hx.load_world_model(out)
+    np.testing.assert_allclose(np.asarray(swm.encode(raw)), want,
+                               atol=1e-5, rtol=1e-5)
+
+    # arbitrary callables cannot be reconstructed on the load side: refuse
+    wm_bad = WorldModel(
+        enc, enc_vars["params"], pred, pred_params, tokens_per_frame=N,
+        preprocessor=lambda clip: clip,
+        cem_config=CEMConfig(rollout=1, cem_steps=1, samples=4, topk=2))
+    with pytest.raises(ValueError, match="preprocess frames host-side"):
+        hx.export_world_model(wm_bad, str(tmp_path / "wmbad"))

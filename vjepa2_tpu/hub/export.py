@@ -133,9 +133,26 @@ def export_world_model(wm, out_dir: str,
     """
     import jax.random as jrandom
 
+    from vjepa2_tpu.hub.preprocessor import Preprocessor
+
     enc = wm.encoder
     H, W = enc.img_size
     N, D = wm.tokens_per_frame, enc.embed_dim
+
+    # The host-side frame preprocessor (numpy resize/crop/normalize) cannot
+    # ride the StableHLO program (data-dependent input shapes); record it in
+    # meta so ServingWorldModel.encode re-applies it, and refuse arbitrary
+    # callables we cannot reconstruct on the load side.
+    if wm.preprocessor is None:
+        pp_meta = None
+    elif isinstance(wm.preprocessor, Preprocessor):
+        pp_meta = {"kind": "vjepa2",
+                   "crop_size": int(wm.preprocessor._t.crop_size)}
+    else:
+        raise ValueError(
+            "export_world_model can only serialize the standard hub "
+            "Preprocessor (or None); preprocess frames host-side and build "
+            "the WorldModel with preprocessor=None instead")
 
     def encode_fn(enc_params, frame):
         return wm._encode_impl(enc_params, frame)
@@ -173,6 +190,7 @@ def export_world_model(wm, out_dir: str,
         "img_size": [int(H), int(W)], "tokens_per_frame": int(N),
         "embed_dim": int(D), "normalize_reps": bool(wm.normalize_reps),
         "preprocessor": export_preprocessor_stats(),
+        "frame_preprocessor": pp_meta,
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -183,14 +201,21 @@ def export_world_model(wm, out_dir: str,
 class ServingWorldModel:
     """Deserialized world model: `encode(frame)` + `plan(rep, pose, goal)`.
 
-    No model code, flax modules, or tracing — just the two StableHLO
-    programs and their param trees."""
+    No flax modules or tracing — just the two StableHLO programs, their
+    param trees, and (when the source WorldModel had one) the numpy frame
+    preprocessor reconstructed from meta.json."""
 
     def __init__(self, out_dir: str):
         from flax import serialization
 
         with open(os.path.join(out_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        pp = self.meta.get("frame_preprocessor")
+        self._preproc = None
+        if pp is not None:
+            from vjepa2_tpu.hub.preprocessor import vjepa2_preprocessor
+
+            self._preproc = vjepa2_preprocessor(crop_size=pp["crop_size"])
         with open(os.path.join(out_dir, "encode.stablehlo"), "rb") as f:
             self._encode = jexport.deserialize(f.read())
         with open(os.path.join(out_dir, "plan.stablehlo"), "rb") as f:
@@ -203,6 +228,10 @@ class ServingWorldModel:
                 jnp.asarray, serialization.msgpack_restore(f.read()))
 
     def encode(self, frame) -> jnp.ndarray:
+        if self._preproc is not None:
+            # mirror WorldModel.encode: preprocess the single frame as a
+            # length-1 clip (resize/crop/normalize on host)
+            frame = self._preproc(np.asarray(frame)[None])[0]
         return self._encode.call(self._enc_params,
                                  jnp.asarray(frame, jnp.float32))
 

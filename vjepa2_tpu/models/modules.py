@@ -69,6 +69,20 @@ FUSE_LN_QKV = False
 # `scripts/probe_ln_qkv_step.py` sweeps both flags).
 FUSE_LN_MLP = False
 
+def set_ln_fusions(csv: str) -> None:
+    """Set both LN-prologue fusion flags from a comma list ('qkv,mlp', 'qkv',
+    'mlp', or '' for neither). The one parser for every CLI that exposes the
+    A/B (bench.py --fuse-ln, scripts/trace_step.py --fuse-ln)."""
+    global FUSE_LN_QKV, FUSE_LN_MLP
+    sel = {s.strip() for s in csv.split(",") if s.strip()}
+    unknown = sel - {"qkv", "mlp"}
+    if unknown:
+        raise ValueError(f"unknown LN fusion(s) {sorted(unknown)}: "
+                         "expected a comma list drawn from 'qkv','mlp'")
+    FUSE_LN_QKV = "qkv" in sel
+    FUSE_LN_MLP = "mlp" in sel
+
+
 # Diagnostic knob (scripts/probe_step_buckets.py): False runs LayerNorm in
 # the compute dtype to measure what the fp32 upcast+reduce costs at step
 # level. Production keeps True — the reference's autocast leaves LN in fp32.

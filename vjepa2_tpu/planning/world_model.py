@@ -37,6 +37,7 @@ class WorldModel:
         self.pred_params = pred_params
         self.tokens_per_frame = tokens_per_frame
         self.preprocessor = preprocessor
+        self.cem_config = cem_config
         self.normalize_reps = normalize_reps
 
         def step_fn(pred_params, reps, actions, poses):

@@ -510,10 +510,17 @@ class Pretrainer:
 
                     from vjepa2_tpu.core.pipeline import merge_block_params
 
-                    target_params = jax.jit(
-                        merge_block_params,
-                        out_shardings=NamedSharding(self.mesh, PartitionSpec()),
-                    )(target_params["encoder"], target_params["encoder_blocks"])
+                    unstack = getattr(self, "_eval_unstack", None)
+                    if unstack is None:
+                        # built once per run (jit caches live on the wrapper;
+                        # a fresh wrapper per eval epoch would retrace)
+                        unstack = self._eval_unstack = jax.jit(
+                            merge_block_params,
+                            out_shardings=NamedSharding(self.mesh,
+                                                        PartitionSpec()),
+                        )
+                    target_params = unstack(target_params["encoder"],
+                                            target_params["encoder_blocks"])
                 metrics = self.online_eval(
                     self.encoder, target_params, epoch,
                     predictor=self.predictor,
