@@ -578,6 +578,11 @@ def _flash_bwd_bhnd(
     block_q = min(block_q, N)
     block_k = min(block_k, M)
     assert H % block_h == 0, (H, block_h)
+    if kv_valid is not None:
+        # same contract as the forward: _mask_pad_cols only masks pad
+        # columns inside the LAST kv block, so a tail pad spilling into an
+        # earlier block would contribute silently-wrong dq/dk/dv
+        assert M - kv_valid < block_k, (M, kv_valid, block_k)
     hb = H // block_h
     use_segments = seg is not None
     use_rope = qcos is not None
@@ -912,6 +917,13 @@ def flash_attention_bhnd(
     compute, so one cell serves several heads and shares its rope-table
     load.
     """
+    if segment_ids is not None and causal:
+        # the kernels apply the segment mask OR the token-causal mask, never
+        # both — reject rather than silently dropping the causal constraint
+        # (frame-causal attention rides segment_ids alone: seg[i] >= seg[j])
+        raise ValueError(
+            "flash_attention: segment_ids and causal=True cannot be "
+            "combined; encode causality in the segment ids instead")
     qcos = qsin = kcos = ksin = None
     if rope_expanded is not None:
         qcos = kcos = rope_expanded[0]  # [B|1, N, D] split-half, pre-expanded

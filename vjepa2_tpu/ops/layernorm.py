@@ -38,12 +38,66 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_ROWS = 512
 
 
+def _pick_block(n: int, target: int) -> int:
+    """Largest divisor of ``n`` <= ``target`` that Mosaic can tile as a
+    SUBLANE dim: a multiple of 8, or ``n`` itself (block == array is always
+    legal). Returns 0 when neither exists — callers' ``supports()`` gates
+    turn that into the XLA fallback. (An earlier picker could return e.g. 34
+    for n=306 — a divisor that is neither 8-aligned nor array-equal, which
+    interpret mode accepts but the hardware compiler rejects.) Canonical
+    home of the helper; `ln_qkv`/`ln_mlp` import it from here."""
+    best = 0
+    for b in range(8, min(n, target) + 1, 8):
+        if n % b == 0:
+            best = b
+    if best:
+        return best
+    return n if n <= target else 0
+
+
+def _pick_block_lane(n: int, target: int) -> int:
+    """Same for a LANE dim: a multiple of 128, or ``n`` itself."""
+    best = 0
+    for b in range(128, min(n, target) + 1, 128):
+        if n % b == 0:
+            best = b
+    if best:
+        return best
+    return n if n <= target else 0
+
+
 def _pick_rows(r: int, target: int = DEFAULT_BLOCK_ROWS) -> int:
-    best = 1
-    for b in range(1, min(r, target) + 1):
-        if r % b == 0 and (b % 8 == 0 or best < 8):
-            best = max(best, b)
-    return best
+    return _pick_block(r, target)
+
+
+def ln_forward_f32(x, gamma, beta, eps):
+    """The one fp32 LayerNorm forward formula (stats + affine) shared by the
+    XLA fallbacks of `layer_norm`, `ln_qkv`, and `ln_mlp`.
+
+    Returns (y_f32, mean, rstd) — y unconverted so callers pick the output
+    dtype."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    xc = xf - mean
+    var = (xc * xc).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = xc * rstd * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return y, mean, rstd
+
+
+def ln_backward_f32(x, dy, gamma, mean, rstd):
+    """The one LayerNorm backward formula given saved (mean, rstd) and an
+    fp32 upstream cotangent ``dy`` w.r.t. LN's affine output.
+
+    Returns fp32 (dx, dgamma, dbeta) with dgamma/dbeta reduced over all
+    leading axes; callers cast to their param dtypes."""
+    xhat = (x.astype(jnp.float32) - mean) * rstd
+    wdy = dy * gamma.astype(jnp.float32)
+    c1 = wdy.mean(-1, keepdims=True)
+    c2 = (wdy * xhat).mean(-1, keepdims=True)
+    dx = (wdy - c1 - xhat * c2) * rstd
+    red = tuple(range(x.ndim - 1))
+    return dx, (dy * xhat).sum(red), dy.sum(red)
 
 
 def _ln_fwd_kernel(x_ref, g_ref, b_ref, o_ref, mean_ref, rstd_ref, *, eps):
@@ -175,12 +229,10 @@ def layer_norm(x, gamma, beta, eps: float = 1e-6, interpret: bool = False):
     for d in lead:
         R *= d
     if not supports(R, C) and not interpret:
-        xf = x.astype(jnp.float32)
-        mean = xf.mean(-1, keepdims=True)
-        xc = xf - mean
-        var = (xc * xc).mean(-1, keepdims=True)
-        y = xc * jax.lax.rsqrt(var + eps)
-        return (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
-    block_rows = _pick_rows(R)
+        y, _, _ = ln_forward_f32(x, gamma, beta, eps)
+        return y.astype(x.dtype)
+    # `or R`: interpret mode bypasses supports(), and _pick_rows returns 0
+    # when no hardware-legal block exists — any block is legal interpreted.
+    block_rows = _pick_rows(R) or R
     out = _ln_core(x.reshape(R, C), gamma, beta, eps, block_rows, interpret)
     return out.reshape(*lead, C)

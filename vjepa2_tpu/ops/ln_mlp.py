@@ -38,7 +38,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vjepa2_tpu.ops.ln_qkv import _pick_block, _pick_block_lane
+from vjepa2_tpu.ops.layernorm import (
+    _pick_block, _pick_block_lane, ln_backward_f32, ln_forward_f32,
+)
 
 DEFAULT_BLOCK_N = 256
 DEFAULT_BLOCK_H = 512
@@ -115,13 +117,7 @@ def _ln_mlp_fwd(x, gamma, beta, w, bias, eps, block_n, block_h, interpret):
 
 def _xla_reference(x, gamma, beta, w, bias, eps):
     """Unfused formulation (identical math) for off-TPU and small shapes."""
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    xc = xf - mean
-    var = (xc * xc).mean(-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    y = (xc * rstd * gamma.astype(jnp.float32)
-         + beta.astype(jnp.float32)).astype(x.dtype)
+    y = ln_forward_f32(x, gamma, beta, eps)[0].astype(x.dtype)
     z = jnp.einsum("bnc,ck->bnk", y, w,
                    preferred_element_type=jnp.float32) + bias
     return _gelu_exact(z).astype(x.dtype)
@@ -159,13 +155,9 @@ def _core_bwd(eps, block_n, block_h, interpret, res, dh):
     dw = jnp.einsum("bnc,bnk->ck", y, dz.astype(x.dtype)).astype(w.dtype)
     dy = jnp.einsum("bnk,ck->bnc", dz.astype(x.dtype), w).astype(jnp.float32)
 
-    wdy = dy * gf
-    c1 = wdy.mean(-1, keepdims=True)
-    c2 = (wdy * xhat).mean(-1, keepdims=True)
-    dx = ((wdy - c1 - xhat * c2) * rstd).astype(x.dtype)
-    dgamma = (dy * xhat).sum((0, 1)).astype(gamma.dtype)
-    dbeta = dy.sum((0, 1)).astype(beta.dtype)
-    return dx, dgamma, dbeta, dw, dbias.astype(jnp.float32)
+    dx, dgamma, dbeta = ln_backward_f32(x, dy, gamma, mean, rstd)
+    return (dx.astype(x.dtype), dgamma.astype(gamma.dtype),
+            dbeta.astype(beta.dtype), dw, dbias.astype(jnp.float32))
 
 
 _ln_mlp_core.defvjp(_core_fwd, _core_bwd)

@@ -39,31 +39,12 @@ from vjepa2_tpu.ops.flash_attention import _rope_rotate, _rope_rotate_t
 DEFAULT_BLOCK_N = 256
 
 
-def _pick_block(n: int, target: int) -> int:
-    """Largest divisor of ``n`` <= ``target`` that Mosaic can tile as a
-    SUBLANE dim: a multiple of 8, or ``n`` itself (block == array is always
-    legal). Returns 0 when neither exists — callers' ``supports()`` gates
-    turn that into the XLA fallback. (The old version could return e.g. 34
-    for n=306 — a divisor that is neither 8-aligned nor array-equal, which
-    interpret mode accepts but the hardware compiler rejects.)"""
-    best = 0
-    for b in range(8, min(n, target) + 1, 8):
-        if n % b == 0:
-            best = b
-    if best:
-        return best
-    return n if n <= target else 0
-
-
-def _pick_block_lane(n: int, target: int) -> int:
-    """Same for a LANE dim: a multiple of 128, or ``n`` itself."""
-    best = 0
-    for b in range(128, min(n, target) + 1, 128):
-        if n % b == 0:
-            best = b
-    if best:
-        return best
-    return n if n <= target else 0
+# Canonical implementations live in ops/layernorm.py (shared with ln_mlp);
+# re-exported here because tests and ln_mlp historically import them from
+# this module.
+from vjepa2_tpu.ops.layernorm import (  # noqa: E402
+    _pick_block, _pick_block_lane, ln_backward_f32, ln_forward_f32,
+)
 
 
 def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, cos_ref, sin_ref,
@@ -115,8 +96,7 @@ def _ln_qkv_fwd(x, gamma, beta, w, bias, cos, sin,
     use_rope = cos is not None
     if cos is None:
         cos = sin = jnp.zeros((1, N, D), jnp.float32)
-    elif cos.shape[0] == 1 and B > 1:
-        pass  # broadcast via index_map
+    # a [1, N, D] table broadcasts over batch via the `bi % tb` index map
     tb = cos.shape[0]
 
     grid = (B, N // block_n)
@@ -167,13 +147,11 @@ def _xla_reference(x, gamma, beta, w, bias, rope, eps, num_heads, head_dim):
     """Unfused formulation (identical math) for off-TPU and the VJP."""
     B, N, C = x.shape
     H, D = num_heads, head_dim
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    xc = xf - mean
-    var = (xc * xc).mean(-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    y = (xc * rstd * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
-    qkv = jnp.einsum("bnc,ck->bnk", y, w).astype(jnp.float32) + bias
+    y = ln_forward_f32(x, gamma, beta, eps)[0].astype(x.dtype)
+    # fp32 accumulation to match the kernel's dot_general
+    # (preferred_element_type), not a bf16 round-trip before the upcast
+    qkv = jnp.einsum("bnc,ck->bnk", y, w,
+                     preferred_element_type=jnp.float32) + bias
     q, k, v = (
         qkv[..., i * H * D:(i + 1) * H * D].reshape(B, N, H, D).transpose(0, 2, 1, 3)
         for i in range(3)
@@ -235,12 +213,10 @@ def _core_bwd(eps, num_heads, head_dim, block_n, interpret, res, grads):
                     dqkv.astype(x.dtype)).astype(w.dtype)
     dy = jnp.einsum("bnk,ck->bnc", dqkv.astype(x.dtype), w).astype(jnp.float32)
 
-    wdy = dy * gf
-    c1 = wdy.mean(-1, keepdims=True)
-    c2 = (wdy * xhat).mean(-1, keepdims=True)
-    dx = ((wdy - c1 - xhat * c2) * rstd).astype(x.dtype)
-    dgamma = (dy * xhat).sum((0, 1)).astype(gamma.dtype)
-    dbeta = dy.sum((0, 1)).astype(beta.dtype)
+    dx, dgamma, dbeta = ln_backward_f32(x, dy, gamma, mean, rstd)
+    dx = dx.astype(x.dtype)
+    dgamma = dgamma.astype(gamma.dtype)
+    dbeta = dbeta.astype(beta.dtype)
 
     zc = jnp.zeros_like(cos) if cos is not None else None
     zs = jnp.zeros_like(sin) if sin is not None else None

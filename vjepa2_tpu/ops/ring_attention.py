@@ -190,14 +190,17 @@ def _ring_core_bwd(axis_name, axis_size, scale, use_kernel, res, g):
         dq = dq + dq_i.astype(jnp.float32)
         dk_blk = dk_blk + dk_i.astype(jnp.float32)
         dv_blk = dv_blk + dv_i.astype(jnp.float32)
-        # rotate after EVERY hop (one more rotation than the forward): after
-        # ``axis_size`` rotations each dk/dv partial is home with its block
-        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        # dk/dv rotate after EVERY hop (one more rotation than the forward):
+        # after ``axis_size`` rotations each partial is home with its block
         dk_blk = jax.lax.ppermute(dk_blk, axis_name, perm)
         dv_blk = jax.lax.ppermute(dv_blk, axis_name, perm)
-        if s_blk is not None:
-            s_blk = jax.lax.ppermute(s_blk, axis_name, perm)
+        if i < axis_size - 1:
+            # k/v/seg after the final hop are never read — skipping their
+            # last rotation saves 2-3 full-shard ICI transfers per layer
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+            if s_blk is not None:
+                s_blk = jax.lax.ppermute(s_blk, axis_name, perm)
     return (dq.astype(q.dtype), dk_blk.astype(k.dtype), dv_blk.astype(v.dtype),
             None, None)
 

@@ -126,7 +126,7 @@ def build_rope_cache(
     w_patches: int,
     grid_size: int | None = None,
     theta: float = 10000.0,
-) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Precompute fused (cos, sin) for the 3 factorized subspaces.
 
     Computing angles once per forward (instead of per layer) and
