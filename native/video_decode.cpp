@@ -57,6 +57,13 @@ struct VDContext {
   bool start_pts_known = false;
   bool at_start = true;     // decoder positioned at stream start (no seek yet)
   bool pkt_pending = false; // pkt holds a packet the codec EAGAIN'd on
+  bool draining = false;    // codec got the EOF flush packet; must seek (or
+                            // flush) before it will accept input again
+  // geometry the current sws context was built for (frames can change
+  // resolution/pix_fmt mid-stream; codecpar can lie about both)
+  int sws_w = 0;
+  int sws_h = 0;
+  AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
 
   ~VDContext() {
     if (sws) sws_freeContext(sws);
@@ -137,6 +144,7 @@ int next_frame(VDContext* c, int64_t* out_index) {
       ret = av_read_frame(c->fmt, c->pkt);
       if (ret < 0) {
         avcodec_send_packet(c->codec, nullptr);  // flush
+        c->draining = true;
         break;
       }
       if (c->pkt->stream_index != c->stream_index) {
@@ -168,21 +176,47 @@ int seek_to(VDContext* c, int64_t index) {
       return -1;
     }
   }
-  avcodec_flush_buffers(c->codec);
+  avcodec_flush_buffers(c->codec);  // also exits draining mode
   if (c->pkt_pending) {
     av_packet_unref(c->pkt);
     c->pkt_pending = false;
   }
+  c->draining = false;
   c->next_index = -1;   // unknown until the first decoded pts
   c->at_start = false;  // positioned at a keyframe, not the stream origin
   return 0;
 }
 
-void convert_rgb(VDContext* c, uint8_t* dst) {
+// Convert the current frame to RGB24 at the container-reported (fixed)
+// output size. The sws context is (re)built from the frame's ACTUAL
+// geometry — codecpar can over-report height (cropped H.264) and streams
+// can change resolution/pix_fmt mid-file; scaling from the real frame
+// keeps the batch buffer layout fixed without reading out of bounds.
+int convert_rgb(VDContext* c, uint8_t* dst) {
+  const int fw = c->frame->width, fh = c->frame->height;
+  const AVPixelFormat ffmt = (AVPixelFormat)c->frame->format;
+  if (fw <= 0 || fh <= 0 || ffmt == AV_PIX_FMT_NONE) {
+    set_error("decoded frame reports no geometry");
+    return -1;
+  }
+  if (!c->sws || fw != c->sws_w || fh != c->sws_h || ffmt != c->sws_fmt) {
+    if (c->sws) sws_freeContext(c->sws);
+    c->sws = sws_getContext(fw, fh, ffmt, c->width, c->height,
+                            AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                            nullptr);
+    if (!c->sws) {
+      set_error("sws_getContext failed");
+      return -1;
+    }
+    c->sws_w = fw;
+    c->sws_h = fh;
+    c->sws_fmt = ffmt;
+  }
   uint8_t* planes[4] = {dst, nullptr, nullptr, nullptr};
   int strides[4] = {3 * c->width, 0, 0, 0};
-  sws_scale(c->sws, c->frame->data, c->frame->linesize, 0, c->height, planes,
+  sws_scale(c->sws, c->frame->data, c->frame->linesize, 0, fh, planes,
             strides);
+  return 0;
 }
 
 }  // namespace
@@ -249,12 +283,8 @@ VDContext* vd_open(const char* path, int nthreads) {
   }
   c->pkt = av_packet_alloc();
   c->frame = av_frame_alloc();
-  c->sws = sws_getContext(c->width, c->height, c->codec->pix_fmt, c->width,
-                          c->height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
-                          nullptr, nullptr);
-  if (!c->sws) {
-    // pix_fmt may be unknown until the first frame; create lazily then
-  }
+  // sws is created lazily in convert_rgb from the first decoded frame's
+  // actual geometry (codecpar's pix_fmt/height can be wrong or unknown)
   return c;
 }
 
@@ -298,11 +328,7 @@ int vd_get_batch(VDContext* c, const int64_t* indices, int n, uint8_t* out) {
   // start and decode one frame. Seeking blind would make index_to_ts guess
   // an origin AND adopt the landing keyframe's pts as frame 0, shifting
   // every subsequent pts->index mapping.
-  if (!c->start_pts_known && sorted[0] > c->next_index + kSeekGapFrames &&
-      c->next_index >= 0 && !c->at_start) {
-    // mid-stream with unknown origin (pts-less frames so far): nothing to
-    // learn; sequential counting below stays authoritative
-  } else if (!c->start_pts_known && sorted[0] > kSeekGapFrames && c->at_start) {
+  if (!c->start_pts_known && sorted[0] > kSeekGapFrames && c->at_start) {
     int64_t idx_probe;
     int pr = next_frame(c, &idx_probe);
     if (pr < 0) return -3;
@@ -311,57 +337,97 @@ int vd_get_batch(VDContext* c, const int64_t* indices, int n, uint8_t* out) {
       c->next_index = idx_probe;  // fall through; loop below handles it
     }
   }
-  // position the decoder: seek when behind or far ahead
-  if (c->next_index < 0 || sorted[0] < c->next_index ||
-      sorted[0] > c->next_index + kSeekGapFrames) {
-    if (sorted[0] == 0 || seek_to(c, sorted[0]) < 0) {
-      // either want frame 0 (cheap rewind) or the ts-seek failed: rewind
+  // Timestamp seeks are only meaningful once the pts origin is known; on a
+  // pts-less stream the only safe repositioning is a full rewind (counting
+  // restarts from the true start) — a ts-seek would land on a keyframe
+  // whose index cannot be recovered, shifting the whole mapping. A far
+  // FORWARD gap on such a stream therefore decodes through instead.
+  const bool can_ts_seek = c->start_pts_known;
+  // Index already ts-sought in THIS batch: never seek to the same target
+  // twice. A target past the last decodable frame otherwise ping-pongs
+  // forever — seek lands on the final keyframe, decode hits EOF without
+  // reaching the target, and the far-gap check re-issues the same seek.
+  int64_t sought = -1;
+  // position the decoder: when behind, draining past EOF, fresh off a
+  // seek, or far ahead (seekable streams only)
+  if (c->draining || c->next_index < 0 || sorted[0] < c->next_index ||
+      (can_ts_seek && sorted[0] > c->next_index + kSeekGapFrames)) {
+    if (can_ts_seek && sorted[0] != 0) sought = sorted[0];
+    if (!can_ts_seek || sorted[0] == 0 || seek_to(c, sorted[0]) < 0) {
+      // want frame 0 (cheap rewind), pts-less stream, or ts-seek failed
       if (av_seek_frame(c->fmt, c->stream_index, 0, AVSEEK_FLAG_BACKWARD) < 0) {
         // some demuxers can't seek at all (raw streams): reopen from scratch
         set_error("rewind failed");
         return -2;
       }
-      avcodec_flush_buffers(c->codec);
+      avcodec_flush_buffers(c->codec);  // also exits draining mode
       if (c->pkt_pending) {
         av_packet_unref(c->pkt);
         c->pkt_pending = false;
       }
+      c->draining = false;
       c->next_index = -1;
       c->at_start = true;  // rewound to the true stream start
     }
   }
 
+  int64_t last_seen_idx = -1;  // newest decoded index (consumed or not)
   while (u < sorted.size()) {
     int64_t idx;
     int ret = next_frame(c, &idx);
     if (ret < 0) return -3;
     if (ret == 0) break;  // EOF: clamp below
-    // lazily (re)create sws if pix_fmt only became known now
-    if (!c->sws) {
-      c->sws = sws_getContext(c->frame->width, c->frame->height,
-                              (AVPixelFormat)c->frame->format, c->width,
-                              c->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
-                              nullptr, nullptr, nullptr);
-      if (!c->sws) {
-        set_error("sws_getContext failed");
-        return -4;
-      }
-    }
+    last_seen_idx = idx;
     // after a seek the decoder may emit frames BEFORE the target
     while (u < sorted.size() && sorted[u] < idx) {
       // wanted frame skipped (pts jumped over it): serve this frame instead
-      convert_rgb(c, slot[u]);
+      if (convert_rgb(c, slot[u]) < 0) return -4;
       last_done = slot[u];
       ++u;
     }
     if (u < sorted.size() && sorted[u] == idx) {
-      convert_rgb(c, slot[u]);
+      if (convert_rgb(c, slot[u]) < 0) return -4;
       last_done = slot[u];
       ++u;
     }
-    // large mid-batch gap: jump instead of decoding through it
-    if (u < sorted.size() && sorted[u] > c->next_index + kSeekGapFrames) {
+    // large mid-batch gap: jump instead of decoding through it (ts-seeks
+    // need a known pts origin; pts-less streams decode through; a target
+    // already sought this batch decodes through — see `sought` above)
+    if (u < sorted.size() && c->start_pts_known && sorted[u] != sought &&
+        sorted[u] > c->next_index + kSeekGapFrames) {
       if (seek_to(c, sorted[u]) < 0) return -5;
+      sought = sorted[u];
+    }
+  }
+  if (u < sorted.size() && !last_done && last_seen_idx >= 0) {
+    // EVERY wanted index lies past EOF (metadata over-reported num_frames)
+    // and the decoded frames all went unconsumed: re-decode the tail and
+    // keep the last decodable frame, so the clamp below has something to
+    // clamp to (cv2-backend behavior on truncated files).
+    bool repositioned = false;
+    if (c->start_pts_known && seek_to(c, last_seen_idx) == 0) {
+      repositioned = true;
+    } else if (av_seek_frame(c->fmt, c->stream_index, 0,
+                             AVSEEK_FLAG_BACKWARD) >= 0) {
+      avcodec_flush_buffers(c->codec);
+      if (c->pkt_pending) {
+        av_packet_unref(c->pkt);
+        c->pkt_pending = false;
+      }
+      c->draining = false;
+      c->next_index = -1;
+      c->at_start = true;
+      repositioned = true;
+    }
+    if (repositioned) {
+      int64_t idx2;
+      int r2;
+      while ((r2 = next_frame(c, &idx2)) > 0) {
+        if (convert_rgb(c, slot[u]) < 0) return -4;
+        last_done = slot[u];
+      }
+      if (r2 < 0) return -3;
+      if (last_done) ++u;
     }
   }
   if (u < sorted.size()) {

@@ -176,3 +176,61 @@ def test_decoder_open_failure_raises():
         f.flush()
         with pytest.raises(VideoReadError):
             VideoReader(f.name, backend="native").get_batch([0])
+
+
+@decoder_skip
+def test_decoder_reuse_after_eof_clamp(sample_mp4):
+    """A batch that clamps at EOF leaves the codec in draining mode; the
+    SAME decoder must then serve a later in-range batch (shard datasets
+    reuse one reader across annotations — `epickitchens._decode_shard`),
+    and an entirely-past-EOF batch must clamp to the last decodable frame
+    (cv2 behavior on truncated/over-reported files) instead of erroring."""
+    d = native.NativeVideoDecoder(sample_mp4)
+    first = d.get_batch([85, 89, 120])  # clamps at EOF -> codec drains
+    np.testing.assert_array_equal(first[2], first[1])
+
+    ref = native.NativeVideoDecoder(sample_mp4)
+    again = d.get_batch([87, 88])  # forward, within the seek gap
+    np.testing.assert_array_equal(again, ref.get_batch([87, 88]))
+
+    past = d.get_batch([300, 400])  # every index past EOF: clamp
+    last = ref.get_batch([89])
+    np.testing.assert_array_equal(past[0], last[0])
+    np.testing.assert_array_equal(past[1], last[0])
+    ref.close()
+    d.close()
+
+
+@decoder_skip
+def test_decoder_fresh_open_entirely_past_eof(sample_mp4):
+    d = native.NativeVideoDecoder(sample_mp4)
+    out = d.get_batch([400])
+    ref = native.NativeVideoDecoder(sample_mp4).get_batch([89])
+    np.testing.assert_array_equal(out[0], ref[0])
+    d.close()
+
+
+@decoder_skip
+def test_auto_backend_falls_back_per_file(sample_mp4, monkeypatch):
+    """Auto backend selection must fall back to cv2 for a FILE the native
+    decoder cannot open (system libav can lack codecs cv2's bundled ffmpeg
+    has) instead of failing the sample."""
+    pytest.importorskip("cv2")
+    from vjepa2_tpu.data import native as nat
+    from vjepa2_tpu.data import video as vid
+
+    def boom(path, nthreads=0):
+        raise RuntimeError("vd_open failed: synthetic codec gap")
+
+    monkeypatch.setattr(nat, "NativeVideoDecoder", boom)
+    vr = vid.VideoReader(sample_mp4)  # auto selection
+    assert vr.backend == "cv2"
+    assert vr.get_batch([0, 5]).shape == (2, 120, 160, 3)
+    # explicit backend="native" must still surface the error
+    with pytest.raises(vid.VideoReadError):
+        vid.VideoReader(sample_mp4, backend="native")
+
+
+def test_normalize_on_device_requires_normalize():
+    with pytest.raises(ValueError, match="normalize_on_device"):
+        VideoTransform(crop_size=32, normalize=False, normalize_on_device=True)

@@ -16,26 +16,43 @@ _LIB: Optional[ctypes.CDLL] = None
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_native", "libhost_ops.so")
 
 
-def _build_if_possible() -> None:
-    """One-shot on-demand build (the .so is a build artifact, not in git)."""
+def _build_lib(src_name: str, out_path: str, extra_link=()) -> None:
+    """On-demand build (the .so is a build artifact, not in git), safe under
+    concurrent spawned loader workers: the compile is serialized by a file
+    lock and publishes atomically (compile to a per-process temp file, then
+    os.replace), so a sibling can never dlopen a half-written .so."""
+    import fcntl
     import shutil
     import subprocess
 
     src = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "native", "host_ops.cpp",
+        "native", src_name,
     )
     if not os.path.exists(src) or shutil.which("g++") is None:
         return
-    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             src, "-o", _LIB_PATH],
-            check=True, capture_output=True, timeout=120,
-        )
-    except (OSError, subprocess.SubprocessError):
-        pass
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if os.path.exists(out_path):
+            return  # a sibling built it while we waited on the lock
+        tmp = f"{out_path}.{os.getpid()}.tmp"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 src, *extra_link, "-o", tmp],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, out_path)
+        except (OSError, subprocess.SubprocessError):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+def _build_if_possible() -> None:
+    _build_lib("host_ops.cpp", _LIB_PATH)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -192,25 +209,8 @@ def _load_vd() -> Optional[ctypes.CDLL]:
 
 
 def _build_vd_if_possible() -> None:
-    import shutil
-    import subprocess
-
-    src = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "native", "video_decode.cpp",
-    )
-    if not os.path.exists(src) or shutil.which("g++") is None:
-        return
-    os.makedirs(os.path.dirname(_VDLIB_PATH), exist_ok=True)
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", src,
-             "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
-             "-o", _VDLIB_PATH],
-            check=True, capture_output=True, timeout=120,
-        )
-    except (OSError, subprocess.SubprocessError):
-        pass
+    _build_lib("video_decode.cpp", _VDLIB_PATH,
+               ("-lavformat", "-lavcodec", "-lavutil", "-lswscale"))
 
 
 def decoder_available() -> bool:

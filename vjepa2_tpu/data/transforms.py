@@ -153,6 +153,14 @@ class VideoTransform:
     def __post_init__(self):
         self.mean = IMAGENET_MEAN if self.mean is None else np.asarray(self.mean, np.float32)
         self.std = IMAGENET_STD if self.std is None else np.asarray(self.std, np.float32)
+        if self.normalize_on_device and not self.normalize:
+            # the device step (`train/pretrain._device_normalize`) applies
+            # (x/255 - mean)/std unconditionally to uint8 clips, so it
+            # cannot honor normalize=False — reject rather than silently
+            # normalizing anyway
+            raise ValueError(
+                "normalize_on_device=True requires normalize=True; "
+                "use the host float path for un-normalized clips")
         if self.use_native is None:
             from vjepa2_tpu.data import native
 

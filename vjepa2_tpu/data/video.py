@@ -42,7 +42,8 @@ class VideoReader:
         if not os.path.exists(path):
             raise VideoReadError(f"video path not found: {path}")
         self.path = path
-        if backend is None:
+        auto = backend is None
+        if auto:
             from vjepa2_tpu.data import native as _native
 
             if _native.decoder_available():
@@ -60,30 +61,53 @@ class VideoReader:
         if self.backend == "native":
             from vjepa2_tpu.data import native as _native
 
+            err = None
             try:
-                self._native = _native.NativeVideoDecoder(path)
+                nat = _native.NativeVideoDecoder(path)
+                if nat.num_frames <= 0:
+                    nat.close()
+                    err = f"native decoder reports no frames for {path}"
+                else:
+                    self._native = nat
+                    self._len = nat.num_frames
+                    self._fps = nat.fps or 30.0
             except RuntimeError as e:
-                raise VideoReadError(str(e)) from e
-            self._len = self._native.num_frames
-            self._fps = self._native.fps or 30.0
-            if self._len <= 0:
-                raise VideoReadError(f"native decoder reports no frames for {path}")
+                err = str(e)
+            if err is not None:
+                # per-FILE fallback under auto selection: the system libav
+                # can lack codecs that cv2/imageio's bundled ffmpeg has
+                # (e.g. AV1/HEVC on older distros) — one exotic file must
+                # not kill a run that decoded fine before the native backend
+                if auto and _HAS_CV2:
+                    self.backend = "cv2"
+                    self._init_cv2(path)
+                elif auto and _HAS_IIO:
+                    self.backend = "imageio"
+                    self._init_iio(path)
+                else:
+                    raise VideoReadError(err)
         elif self.backend == "cv2":
-            cap = cv2.VideoCapture(path)
-            if not cap.isOpened():
-                raise VideoReadError(f"cv2 failed to open {path}")
-            self._len = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            self._fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-            cap.release()
-            if self._len <= 0:
-                raise VideoReadError(f"cv2 reports no frames for {path}")
+            self._init_cv2(path)
         else:
-            meta = iio.immeta(path, plugin="pyav") if _HAS_IIO else {}
-            self._fps = float(meta.get("fps", 30.0))
-            self._len = int(meta.get("nframes") or 0)
-            if self._len <= 0:
-                # fall back to counting (slow, but only metadata-less files)
-                self._len = sum(1 for _ in iio.imiter(path))
+            self._init_iio(path)
+
+    def _init_cv2(self, path: str) -> None:
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise VideoReadError(f"cv2 failed to open {path}")
+        self._len = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self._fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        cap.release()
+        if self._len <= 0:
+            raise VideoReadError(f"cv2 reports no frames for {path}")
+
+    def _init_iio(self, path: str) -> None:
+        meta = iio.immeta(path, plugin="pyav") if _HAS_IIO else {}
+        self._fps = float(meta.get("fps", 30.0))
+        self._len = int(meta.get("nframes") or 0)
+        if self._len <= 0:
+            # fall back to counting (slow, but only metadata-less files)
+            self._len = sum(1 for _ in iio.imiter(path))
 
     def __len__(self) -> int:
         return self._len
