@@ -67,22 +67,22 @@ def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, cos_ref, sin_ref,
     qkv = qkv + bias_ref[0]
 
     hd = num_heads * head_dim
-    blk = qkv.shape[0]
-
-    def heads(i):
-        # [BLK_N, H*D] -> [H, BLK_N, D]
-        part = qkv[:, i * hd:(i + 1) * hd].reshape(blk, num_heads, head_dim)
-        return part.swapaxes(0, 1)
-
-    q, k, v = heads(0), heads(1), heads(2)
     if use_rope:
-        cos = cos_ref[0][None]  # [1, BLK_N, D] broadcasting over heads
-        sin = sin_ref[0][None]
-        q = _rope_rotate(q, cos, sin)
-        k = _rope_rotate(k, cos, sin)
-    q_ref[0] = q.astype(q_ref.dtype)
-    k_ref[0] = k.astype(k_ref.dtype)
-    v_ref[0] = v.astype(v_ref.dtype)
+        cos = cos_ref[0]  # [BLK_N, D]
+        sin = sin_ref[0]
+
+    # Per-head lane slices instead of a [BLK_N, 3HD] -> [BLK_N, H, D]
+    # reshape: Mosaic's infer-vector-layout rejects lane-splitting shape
+    # casts ("unsupported shape cast" on real TPU; interpret mode accepts
+    # them), but static lane slices at sub-128 offsets lower fine — the
+    # flash kernel's in-kernel split-half RoPE relies on the same pattern.
+    for i, ref in enumerate((q_ref, k_ref, v_ref)):
+        for h in range(num_heads):
+            off = i * hd + h * head_dim
+            part = qkv[:, off:off + head_dim]  # [BLK_N, D]
+            if use_rope and i < 2:
+                part = _rope_rotate(part, cos, sin)
+            ref[0, h] = part.astype(ref.dtype)
 
 
 @functools.partial(
