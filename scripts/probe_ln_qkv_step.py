@@ -46,6 +46,10 @@ def main():
                     help="CPU-scale smoke of the full 4-variant sweep")
     ap.add_argument("--rounds", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--variants", default="unfused,qkv,mlp,both",
+                    help="comma list of variants to sweep (each fresh "
+                         "fused program costs a multi-minute tunnel "
+                         "compile; trim when the window is short)")
     args = ap.parse_args()
     if args.tiny:
         # sitecustomize registers the axon TPU backend at interpreter
@@ -79,7 +83,10 @@ def main():
     me = tuple(jnp.asarray(x) for x in me)
     mp = tuple(jnp.asarray(x) for x in mp)
 
-    VARIANTS = [(False, False), (True, False), (False, True), (True, True)]
+    BY_NAME = {"unfused": (False, False), "qkv": (True, False),
+               "mlp": (False, True), "both": (True, True)}
+    VARIANTS = [BY_NAME[s.strip()] for s in args.variants.split(",")
+                if s.strip()]
 
     fns = {}
     for fuse in VARIANTS:

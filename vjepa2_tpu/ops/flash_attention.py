@@ -953,14 +953,21 @@ def flash_attention_bhnd(
     # ~3 MB of headroom.
     if q.shape[-1] < 64 and block_q * block_k > 416 * 1664:
         block_q = pick_block(n, max(block_q // 2, 8))
-    # With rope tables riding into the kernel, full-N k blocks at encoder
-    # widths measured 20.4 MB in the train program (fit standalone — the
-    # scoped-VMEM stack depends on the surrounding program). Cap the score
-    # block at 1024^2 there; the full-N k win was ~8% and only holds
-    # rope-free.
-    if (rope_tables is not None or rope_expanded is not None) \
-            and q.shape[-1] >= 64 and block_q * block_k > 1024 * 1024:
-        block_k = pick_block(m, max(block_k // 2, 8))
+    # Encoder-width fwd blocks are capped at 512x1024 UNCONDITIONALLY: the
+    # full-N k default measured 20.4 MB scoped VMEM in the train program
+    # with rope tables riding (fit standalone — the scoped-VMEM stack
+    # depends on the surrounding program), the 1024^2 rope cap still
+    # measured 18.44 MB inside the full ViT-L pretrain program (r4 LN A/B
+    # baseline compile), and the LN+qkv-fused step — where rope is applied
+    # inside the prologue so no tables ride here — hit the same 18.44 MB
+    # with the uncapped full-N block. 512x1024 compiles and runs in every
+    # surrounding program tried; the full-N k win was ~8% and only held
+    # rope-free, and halving the q block was timing-neutral in the sweeps.
+    if q.shape[-1] >= 64:
+        if block_q * block_k > 1024 * 1024:
+            block_k = pick_block(m, max(block_k // 2, 8))
+        if block_q * block_k > 512 * 1024:
+            block_q = pick_block(n, max(block_q // 2, 8))
     # Default backward blocks: 1024-capped (NOT the forward blocks — the
     # forward default streams full-N k blocks, which would put ~4
     # score-shaped fp32 buffers over the 16 MB scoped-VMEM cliff in the
