@@ -85,8 +85,12 @@ def main():
 
     BY_NAME = {"unfused": (False, False), "qkv": (True, False),
                "mlp": (False, True), "both": (True, True)}
-    VARIANTS = [BY_NAME[s.strip()] for s in args.variants.split(",")
-                if s.strip()]
+    requested = [s.strip() for s in args.variants.split(",") if s.strip()]
+    unknown = [s for s in requested if s not in BY_NAME]
+    if unknown:
+        ap.error(f"unknown variants {unknown}; choose from "
+                 f"{sorted(BY_NAME)}")
+    VARIANTS = [BY_NAME[s] for s in requested]
 
     fns = {}
     for fuse in VARIANTS:
@@ -126,7 +130,9 @@ def main():
             best[fuse] = min(best[fuse], dt)
             print(f"round {rnd} fuse={fuse}: {dt * 1e3:.1f} ms/step",
                   flush=True)
-    base = best[(False, False)]
+    # Baseline for the delta column: unfused when swept, else the first
+    # swept variant (a trimmed sweep may exclude unfused).
+    base = best.get((False, False), best[VARIANTS[0]])
     names = {(False, False): "unfused", (True, False): "qkv",
              (False, True): "mlp", (True, True): "both"}
     print("RESULT " + " | ".join(

@@ -53,6 +53,11 @@ DEFAULT_BLOCK_K = 2048  # full-N k block when it fits: k/v stream ONCE per (b,h)
 # (r3 tunnel-safe sweep at enc B8 H16 N2048 D64: bk2048 1.87 ms vs bk1024
 #  2.03 ms; bq2048 fails to compile. 256/512-wide blocks are 2-5x slower.)
 DEFAULT_BWD_BLOCK = 1024  # bwd keeps ~4 score-shaped fp32 buffers live: 16 MB cliff
+# Score-block cap (q, k) applied to encoder-width (d_head >= 64) forward
+# kernels when the default blocks exceed cap_q * cap_k elements. Module
+# knob so step-level probes can A/B cap policies in one process; None
+# disables the cap entirely. See the inline comment at the use site.
+FWD_CAP_WIDE: tuple[int, int] | None = (512, 1024)
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # 1/ln 2
 
@@ -953,7 +958,8 @@ def flash_attention_bhnd(
     # ~3 MB of headroom.
     if q.shape[-1] < 64 and block_q * block_k > 416 * 1664:
         block_q = pick_block(n, max(block_q // 2, 8))
-    # Encoder-width fwd blocks are capped at 512x1024 UNCONDITIONALLY: the
+    # Encoder-width DEFAULT fwd blocks land on FWD_CAP_WIDE (caller-supplied
+    # blocks above the cap area are clamped dim-by-dim, not re-searched): the
     # full-N k default measured 20.4 MB scoped VMEM in the train program
     # with rope tables riding (fit standalone — the scoped-VMEM stack
     # depends on the surrounding program), the 1024^2 rope cap still
@@ -963,11 +969,12 @@ def flash_attention_bhnd(
     # with the uncapped full-N block. 512x1024 compiles and runs in every
     # surrounding program tried; the full-N k win was ~8% and only held
     # rope-free, and halving the q block was timing-neutral in the sweeps.
-    if q.shape[-1] >= 64:
-        if block_q * block_k > 1024 * 1024:
-            block_k = pick_block(m, max(block_k // 2, 8))
-        if block_q * block_k > 512 * 1024:
-            block_q = pick_block(n, max(block_q // 2, 8))
+    if q.shape[-1] >= 64 and FWD_CAP_WIDE is not None:
+        cap_q, cap_k = FWD_CAP_WIDE
+        if block_q * block_k > cap_q * cap_k and block_k > cap_k:
+            block_k = pick_block(m, cap_k)
+        if block_q * block_k > cap_q * cap_k and block_q > cap_q:
+            block_q = pick_block(n, cap_q)
     # Default backward blocks: 1024-capped (NOT the forward blocks — the
     # forward default streams full-N k blocks, which would put ~4
     # score-shaped fp32 buffers over the 16 MB scoped-VMEM cliff in the
