@@ -57,7 +57,16 @@ DEFAULT_BWD_BLOCK = 1024  # bwd keeps ~4 score-shaped fp32 buffers live: 16 MB c
 # kernels when the default blocks exceed cap_q * cap_k elements. Module
 # knob so step-level probes can A/B cap policies in one process; None
 # disables the cap entirely. See the inline comment at the use site.
-FWD_CAP_WIDE: tuple[int, int] | None = (512, 1024)
+#
+# r4 bisect (`scripts/probe_r4_blocks.py`, full ViT-L bs8 16f@256 step,
+# identical mask seeds): the r3-end (512, 1024) cap WAS the BENCH_r03
+# regression — 709.1 ms/step + 471 s compile vs (1024, 1024) 534.1 ms/189 s
+# and uncapped-full-N 528.7 ms/137 s. The uncapped default is within
+# cross-process noise of (1024, 1024) but holds ~4 score-row fp32 buffers
+# of block_q x N against the 16.00 MB scoped-VMEM cliff (fails to compile
+# in SOME surrounding programs when mask lengths shift N — the very failure
+# 221d074 chased), so the default caps at (1024, 1024).
+FWD_CAP_WIDE: tuple[int, int] | None = (1024, 1024)
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # 1/ln 2
 
