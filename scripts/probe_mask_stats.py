@@ -1,0 +1,210 @@
+"""Training-statistics validation of the static-shape mask sampler (VERDICT r3 #6).
+
+The one semantic deviation from the reference masking stack is shape policy:
+reference `src/masks/multiseq_multiblock3d.py:211-215` truncates both index
+lists to the PER-BATCH MINIMUM (variable shapes every step), while
+`masks/multiblock3d.py` fixes (ctx_len, pred_len) per config to the
+Monte-Carlo mean batch-min and adjusts each sample to the static budget.
+`tests/masks/test_deviation_quantified.py` bounds the count/coverage
+deviation; this probe closes the remaining question — does the deviation
+change TRAINING statistics? — by running the same vit_tiny pretrain loop on
+three mask streams:
+
+  static_a   our static sampler, seed 0
+  static_b   our static sampler, seed 7   (noise floor between identical
+             semantics with different mask RNG)
+  refmin     reference semantics: identical block-geometry sampling (same
+             MaskGenerator RNG), true batch-min truncation, VARIABLE shapes
+             (the jit cache compiles one program per distinct length pair —
+             exactly the recompile storm the static design avoids)
+
+Same model init, same optimizer, same clip stream across arms; only masks
+differ. PASS iff the smoothed terminal loss gap |static_a - refmin| is within
+max(3x the |static_a - static_b| noise floor, 2% relative).
+
+Run (CPU, ~10 min): JAX_PLATFORMS=cpu python -u scripts/probe_mask_stats.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+
+from vjepa2_tpu.masks.multiblock3d import MaskCollator, MaskGenerator
+
+MASK_CFGS = [
+    {"spatial_scale": (0.15, 0.15), "temporal_scale": (1.0, 1.0),
+     "aspect_ratio": (0.75, 1.5), "num_blocks": 8},
+    {"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
+     "aspect_ratio": (0.75, 1.5), "num_blocks": 2},
+]
+
+
+class RefMinGenerator(MaskGenerator):
+    """MaskGenerator with the reference's batch-min truncation (variable
+    shapes). Block-size/placement RNG identical to the parent, so the ONLY
+    difference is the shape policy under test."""
+
+    def __call__(self, batch_size, step=None):
+        if step is None:
+            step = self.step()
+        size_rng = np.random.default_rng((self._seed, step))
+        t, h, w = self._sample_block_size(size_rng)
+        place_rng = np.random.default_rng((self._seed, step, 1))
+        D, H, W = self.duration, self.height, self.width
+        ctxs, preds = [], []
+        min_c = min_p = self.num_tokens
+        for _ in range(batch_size):
+            covered = np.zeros((D, H, W), dtype=bool)
+            for attempt in range(10):
+                covered[:] = False
+                for _ in range(self.cfg.num_blocks):
+                    top = place_rng.integers(0, H - h + 1)
+                    left = place_rng.integers(0, W - w + 1)
+                    start = place_rng.integers(0, D - t + 1)
+                    covered[start:start + t, top:top + h, left:left + w] = True
+                if self.max_context_duration < D:
+                    covered[self.max_context_duration:, :, :] = True
+                flat = covered.reshape(-1)
+                if 0 < int(flat.sum()) < self.num_tokens:
+                    break
+            flat = covered.reshape(-1)
+            if flat.all():
+                flat[place_rng.integers(0, self.num_tokens)] = False
+            elif not flat.any():
+                flat[place_rng.integers(0, self.num_tokens)] = True
+            ctx = np.flatnonzero(~flat)
+            pred = np.flatnonzero(flat)
+            min_c, min_p = min(min_c, len(ctx)), min(min_p, len(pred))
+            ctxs.append(ctx)
+            preds.append(pred)
+        if self.cfg.max_keep is not None:
+            min_c = min(min_c, int(self.cfg.max_keep))
+        ctx_b = np.stack([c[:min_c] for c in ctxs]).astype(np.int32)
+        pred_b = np.stack([p[:min_p] for p in preds]).astype(np.int32)
+        return ctx_b, pred_b
+
+
+def run_arm(name, collator, steps, B, T, S, log_every):
+    from vjepa2_tpu.train.pretrain import (
+        PretrainHParams, build_models, init_params, make_optimizer,
+        make_train_step,
+    )
+    from vjepa2_tpu.train.state import TrainState
+
+    encoder, predictor = build_models(
+        model_name="vit_tiny", crop_size=S, num_frames=T,
+        pred_depth=2, pred_embed_dim=64, pred_num_heads=2,
+        use_rope=True, num_mask_tokens=2, use_flash=False,
+        dtype=jnp.float32,
+    )
+    collator.step()
+    me, mp = collator(T, B)
+    hp = PretrainHParams(ipe=steps, epochs=1, warmup_epochs=0)
+    tx = make_optimizer(hp)
+    # identical init across arms: seed fixed, init masks from a THROWAWAY
+    # static collator so refmin's variable first-step shape can't leak in
+    init_coll = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
+    init_coll.step()
+    ime, imp = init_coll(T, B)
+    params, target = init_params(
+        encoder, predictor, 0, (B, T, S, S, 3),
+        jnp.asarray(ime[0]), jnp.asarray(imp[0]))
+    state = TrainState.create(params, target, tx)
+    step_fn = jax.jit(make_train_step(encoder, predictor, tx, hp),
+                      donate_argnums=(0,))
+    losses = []
+    shapes = set()
+    t0 = time.perf_counter()
+    for i in range(steps):
+        clips = jnp.asarray(np.random.RandomState(i).rand(B, T, S, S, 3),
+                            jnp.float32)
+        shapes.add(tuple(x.shape[-1] for x in me) + tuple(x.shape[-1] for x in mp))
+        state, m = step_fn(state, clips,
+                           tuple(jnp.asarray(x) for x in me),
+                           tuple(jnp.asarray(x) for x in mp))
+        losses.append(float(m["loss"]))
+        collator.step()
+        me, mp = collator(T, B)
+        if (i + 1) % log_every == 0:
+            print(f"  {name} step {i + 1}/{steps} loss {losses[-1]:.4f} "
+                  f"({len(shapes)} length pairs, "
+                  f"{time.perf_counter() - t0:.0f}s)", flush=True)
+    return np.asarray(losses), len(shapes)
+
+
+def smooth(x, alpha=0.05):
+    out = np.empty_like(x)
+    acc = x[0]
+    for i, v in enumerate(x):
+        acc = (1 - alpha) * acc + alpha * v
+        out[i] = acc
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--log-every", type=int, default=40)
+    args = ap.parse_args()
+    B, T, S = args.batch, args.frames, args.size
+
+    def static_coll(seed):
+        return MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S),
+                            seed=seed)
+
+    refmin = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
+    # swap in reference-truncation generators, same cfg + per-config seed
+    refmin.mask_generators[T] = [
+        RefMinGenerator(g.cfg, crop_size=(S, S), num_frames=T,
+                        seed=g._seed)
+        for g in refmin.mask_generators[T]
+    ]
+
+    curves = {}
+    npairs = {}
+    for name, coll in [("static_a", static_coll(0)),
+                       ("static_b", static_coll(7)),
+                       ("refmin", refmin)]:
+        print(f"arm {name} ...", flush=True)
+        curves[name], npairs[name] = run_arm(
+            name, coll, args.steps, B, T, S, args.log_every)
+
+    tail = slice(args.steps * 2 // 3, None)
+    term = {k: float(smooth(v)[tail].mean()) for k, v in curves.items()}
+    noise = abs(term["static_a"] - term["static_b"]) / term["static_a"]
+    gap = abs(term["static_a"] - term["refmin"]) / term["static_a"]
+    tol = max(3 * noise, 0.02)
+    ok = gap <= tol
+    print("RESULT " + json.dumps({
+        "terminal_smoothed_loss": {k: round(v, 5) for k, v in term.items()},
+        "rel_noise_floor": round(noise, 5),
+        "rel_gap_static_vs_refmin": round(gap, 5),
+        "tolerance": round(tol, 5),
+        "refmin_distinct_length_pairs": npairs["refmin"],
+        "pass": bool(ok),
+    }))
+    os.makedirs(".perf", exist_ok=True)
+    with open(".perf/mask_stats_curves.json", "w") as f:
+        json.dump({k: [round(float(x), 5) for x in v]
+                   for k, v in curves.items()}, f)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

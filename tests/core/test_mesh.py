@@ -105,6 +105,14 @@ def test_arrange_hybrid_groups_slices():
 
     with pytest.raises(AssertionError, match="cross DCN"):
         make_mesh(MeshConfig(data=-1, fsdp=8, model=1), devices=devs)
+    # injected slice assignment (virtual-device rehearsal path): plain
+    # devices with a synthetic slice_of behave exactly like slice_index
+    out2 = arrange_hybrid(plain, slice_of=lambda d: d.id % 2)
+    assert [d.id for d in out2] == [0, 2, 1, 3]
+    with pytest.raises(AssertionError, match="cross DCN"):
+        make_mesh(MeshConfig(data=-1, fsdp=8, model=1),
+                  devices=[Plain(i) for i in range(8)],
+                  slice_of=lambda d: d.id % 2)
 
 
 def test_train_step_with_tensor_parallel():

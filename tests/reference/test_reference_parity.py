@@ -9,6 +9,8 @@ forwards reproduce the reference outputs — full, masked, nonsquare,
 interpolated, sincos and RoPE paths, at fp32 and bf16 tolerances.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -251,6 +253,105 @@ def test_ac_predictor_parity(use_extrinsics):
         jnp.asarray(extr) if use_extrinsics else None,
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-3)
+
+
+def test_vit_giant384_architecture_parity():
+    """The released giant-384 surface (`src/hub/backbones.py:145-177` ->
+    `src/models/vision_transformer.py:303-315`): full giant WIDTH — embed
+    1408, 22 heads (head_dim 64), mlp_ratio 48/11 — at 384px with RoPE, so
+    the 384px rope-id scaling and the non-multiple-of-8 mlp hidden dim
+    (1408*48/11 = 6144) run against the live reference. Depth reduced 40->4
+    (pure repetition; full-depth is the RUN_GIANT_PARITY=1 test below)."""
+    import functools
+
+    torch.manual_seed(5)
+    Sg, Tg = 384, 2
+    rm = ref_vit.VisionTransformer(
+        img_size=(Sg, Sg), patch_size=16, num_frames=Tg, tubelet_size=2,
+        embed_dim=1408, depth=4, num_heads=22, mlp_ratio=48 / 11,
+        qkv_bias=True,
+        norm_layer=functools.partial(torch.nn.LayerNorm, eps=1e-6),
+        use_rope=True, uniform_power=False,
+    )
+    rm.eval()
+    from vjepa2_tpu.models.vision_transformer import VisionTransformer
+
+    ours = VisionTransformer(
+        img_size=(Sg, Sg), patch_size=16, num_frames=Tg, tubelet_size=2,
+        embed_dim=1408, depth=4, num_heads=22, mlp_ratio=48 / 11,
+        use_rope=True, uniform_power=False,
+    )
+    params = convert_encoder(rm.state_dict())
+    x, xt = _clips(b=1, t=Tg, h=Sg, w=Sg, seed=11)
+    with torch.no_grad():
+        ref = rm(xt).numpy()
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=5e-3)
+
+
+FULL_GIANT = pytest.mark.skipif(
+    not os.environ.get("RUN_GIANT_PARITY"),
+    reason="full 1B-param giant parity: ~10 min on a 1-core host; run with "
+           "RUN_GIANT_PARITY=1 (results recorded in PARITY.md)",
+)
+
+
+@FULL_GIANT
+def test_vit_giant384_hub_full():
+    """Full `vjepa2_vit_giant_384` (40-deep, 1B params) through the hub
+    builders + converter — the released-checkpoint architecture end to end;
+    a real-weights load differs only in the state dict's source."""
+    ref_backbones = import_reference_backbones()
+    torch.manual_seed(6)
+    Sg, Tg = 384, 2
+    r_enc, _ = ref_backbones._make_vjepa2_model(
+        model_name="vit_giant_384", img_size=Sg, num_frames=Tg,
+        pretrained=False,
+    )
+    r_enc.eval()
+    from vjepa2_tpu.hub.backbones import vjepa2_vit_giant_384
+
+    (enc, _), _ = vjepa2_vit_giant_384(num_frames=Tg)
+    enc_params = convert_encoder(r_enc.state_dict())
+    x, xt = _clips(b=1, t=Tg, h=Sg, w=Sg, seed=12)
+    with torch.no_grad():
+        ref = r_enc(xt).numpy()
+    out = np.asarray(enc.apply({"params": enc_params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=5e-3)
+
+
+@FULL_GIANT
+def test_ac_giant_hub_full():
+    """Full `_make_vjepa2_ac_model` (`src/hub/backbones.py:31-80`): the
+    giant encoder + 24x1024 AC predictor state dicts through the converter,
+    encode->predict chain compared on a 2-frame clip (VERDICT r3 #7)."""
+    ref_backbones = import_reference_backbones()
+    torch.manual_seed(7)
+    Sa, Ta = 256, 2
+    r_enc, r_pred = ref_backbones._make_vjepa2_ac_model(
+        model_name="vit_ac_giant", img_size=Sa, num_frames=Ta,
+        pretrained=False,
+    )
+    r_enc.eval()
+    r_pred.eval()
+    from vjepa2_tpu.hub.backbones import vjepa2_ac_vit_giant
+
+    (enc, _), (pred, _) = vjepa2_ac_vit_giant(num_frames=Ta)
+    enc_params = convert_encoder(r_enc.state_dict())
+    pred_params = convert_ac_predictor(r_pred.state_dict())
+    x, xt = _clips(b=1, t=Ta, h=Sa, w=Sa, seed=13)
+    rs = np.random.RandomState(14)
+    actions = (rs.rand(1, 1, 7) * 0.1).astype(np.float32)
+    states = rs.rand(1, 1, 7).astype(np.float32)
+    with torch.no_grad():
+        zt = r_enc(xt)
+        ref = r_pred(zt, torch.from_numpy(actions),
+                     torch.from_numpy(states)).numpy()
+    z = enc.apply({"params": enc_params}, jnp.asarray(x))
+    out = np.asarray(pred.apply(
+        {"params": pred_params}, z, jnp.asarray(actions), jnp.asarray(states)
+    ))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=5e-3)
 
 
 def test_make_vjepa2_model_wiring():

@@ -44,7 +44,11 @@ class MeshConfig:
         return d, f, m, p
 
 
-def arrange_hybrid(devices) -> list:
+def _default_slice_of(dv) -> int:
+    return getattr(dv, "slice_index", 0) or 0
+
+
+def arrange_hybrid(devices, slice_of=None) -> list:
     """Order devices so same-slice devices are contiguous (multi-slice pods).
 
     On a multi-slice deployment the slices connect over DCN (slow) while
@@ -56,15 +60,20 @@ def arrange_hybrid(devices) -> list:
     hierarchically (reduce inside each slice, then across). With a single
     slice (or CPU devices, which have no ``slice_index``) the given order is
     returned untouched — an explicit caller-chosen layout is preserved.
+
+    ``slice_of`` overrides the slice assignment (device -> slice id);
+    default reads ``device.slice_index``. Virtual-device rehearsals inject a
+    synthetic assignment here so the multi-slice layout/guard logic actually
+    EXECUTES off-pod (CPU devices all report slice 0).
     """
-    slices = {getattr(dv, "slice_index", 0) or 0 for dv in devices}
+    slice_of = slice_of or _default_slice_of
+    slices = {slice_of(dv) for dv in devices}
     if len(slices) <= 1:
         return list(devices)
-    return sorted(devices, key=lambda dv: (getattr(dv, "slice_index", 0) or 0,
-                                           getattr(dv, "id", 0)))
+    return sorted(devices, key=lambda dv: (slice_of(dv), getattr(dv, "id", 0)))
 
 
-def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None, slice_of=None) -> Mesh:
     """Build the ('pipe','data','fsdp','model') mesh.
 
     Multi-slice: devices group by slice on the slowest axes via
@@ -77,11 +86,12 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     boundary then always falls between 'data' rows).
     """
     devices = devices if devices is not None else jax.devices()
-    devices = arrange_hybrid(devices)
+    devices = arrange_hybrid(devices, slice_of=slice_of)
     d, f, m, p = cfg.resolve(len(devices))
+    slice_of = slice_of or _default_slice_of
     slice_counts: dict = {}
     for dv in devices[: d * f * m * p]:
-        s = getattr(dv, "slice_index", 0) or 0
+        s = slice_of(dv)
         slice_counts[s] = slice_counts.get(s, 0) + 1
     if len(slice_counts) > 1:
         bad = {s: n for s, n in slice_counts.items() if n % (f * m)}
