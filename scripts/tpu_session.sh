@@ -2,42 +2,48 @@
 # Queued TPU measurements for the next live tunnel session, in priority
 # order (single CPU core: strictly sequential; each stage bounded).
 # Run: nohup sh scripts/tpu_session.sh > /tmp/tpu_session.log 2>&1 &
+#
+# r4 state: regression bisect DONE (536 ms validated), LN A/B DONE
+# (rejected). Remaining backlog below.
 set -x
 cd "$(dirname "$0")/.."
 
-# 0. backend sanity (fails fast if the tunnel is still down)
+# 0. backend sanity + health gate: a trivial compile must land in <120 s
+#    (a sick session measured 171.8 s for a 256x256 matmul — numbers from
+#    such sessions are noise)
 timeout 300 python -c "import jax; print('devices:', jax.devices())" || exit 1
+timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256)); print('warm matmul ok:', float((x @ x)[0, 0]))" || exit 1
 
-# 1. LN-prologue step A/B (ROADMAP #1) — the round's top perf item; sweeps
-#    FUSE_LN_QKV x FUSE_LN_MLP (4 variants, interleaved in one process)
-timeout 3600 python -u scripts/probe_ln_qkv_step.py
+# 1. fresh device-trace attribution of the FIXED 536 ms pretrain step —
+#    ground truth for the predictor narrow-head layout decision
+#    (how many ms do the 4x-padded [8,12,1664,32] tensors actually cost?)
+timeout 1700 python -u scripts/trace_step.py
 
-# 1b. standalone fused pretrain capture (driver-format JSON for the record;
-#     compare its ms_per_step against the default capture in step 3)
-timeout 1800 python bench.py --mode pretrain --fuse-ln qkv,mlp
+# 2. encode-path cap A/B: does uncapped full-N k win the ViT-g encode
+#    headline back (~8% of flash fwd) while the train program still holds?
+timeout 3000 python -u scripts/probe_encode_caps.py
 
-# 2. hardware-gated flash kernel tests (regression check after any wiring)
+# 3. hardware-gated flash kernel tests (regression check after any wiring)
 timeout 1800 env VJEPA2_TEST_TPU=1 python -m pytest tests/ops/test_flash_tpu.py -q
 
-# 3. driver-format headline (ceiling + ViT-g encode + ViT-L pretrain)
-timeout 2400 python bench.py
+# 4. cooldown step at the reference per-GPU effective batch (64f@256 bs12 =
+#    3 x bs4 microbatches via grad accumulation, remat) — first-ever capture
+timeout 2400 python bench.py --mode cooldown
 
-# 4. end-to-end real-mp4 pretrain step, float vs uint8-deferred pipelines
-timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12
+# 5. end-to-end real-mp4 pretrain step, uint8-deferred pipeline (first-ever
+#    on-TPU capture; float comparison after if time allows)
 timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12 --u8
+timeout 1800 python bench.py --mode e2e --model vit_large --batch 8 --steps 12
 
-# 5. fresh device-trace attribution of the pretrain step (ground truth for
-#    the next perf decision: LN bucket, elementwise bucket, copies) — both
-#    the default step and the fully LN-fused variant
-timeout 1700 python -u scripts/trace_step.py
-timeout 1700 python -u scripts/trace_step.py --fuse-ln qkv,mlp
-
-# 6. AC + CEM MFU accounting (VERDICT r2 #6: numbers land in ROADMAP)
+# 6. AC + CEM captures (also ride the headline extras now, but standalone
+#    JSONs give the ROADMAP numbers)
 timeout 1800 python bench.py --mode ac
 timeout 1200 python bench.py --mode cem
 
-# 7. cooldown step at the reference per-GPU effective batch (64f@256 bs12 =
-#    3 x bs4 microbatches via grad accumulation, remat)
-timeout 2400 python bench.py --mode cooldown
+# 7. full driver-format headline WITH the new extras — rehearses the
+#    end-of-round capture and warms ~/.jax_cache with the exact programs
+timeout 5400 python bench.py
 
 echo "TPU session complete"
