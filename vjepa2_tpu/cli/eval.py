@@ -27,6 +27,7 @@ logger = get_logger(__name__, force=True)
 def probe_configs_from_multihead(multihead_kwargs, ipe: int) -> list[ProbeConfig]:
     out = []
     for g in multihead_kwargs:
+        fwd = g.get("final_weight_decay", g.get("final_wd"))
         out.append(
             ProbeConfig(
                 lr=float(g.get("lr", g.get("ref_lr", 1e-3))),
@@ -34,6 +35,7 @@ def probe_configs_from_multihead(multihead_kwargs, ipe: int) -> list[ProbeConfig
                 final_lr=float(g.get("final_lr", 0.0)),
                 weight_decay=float(g.get("weight_decay", g.get("ref_wd", 0.0))),
                 warmup_steps=int(float(g.get("warmup", 0.0)) * ipe),
+                final_wd=float(fwd) if fwd is not None else None,
             )
         )
     return out

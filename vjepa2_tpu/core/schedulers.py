@@ -38,9 +38,10 @@ def cosine_wd(step, *, ref_wd, t_max, final_wd=0.0):
     step = jnp.asarray(step, jnp.float32) + 1.0
     progress = step / t_max
     wd = final_wd + (ref_wd - final_wd) * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
-    if final_wd <= ref_wd:
-        return jnp.maximum(final_wd, wd)
-    return jnp.minimum(final_wd, wd)
+    # clamp toward final_wd on both ramp directions; jnp.where (not python
+    # if): ref_wd/final_wd are traced under the vmapped probe grids
+    return jnp.where(jnp.asarray(final_wd) <= ref_wd,
+                     jnp.maximum(final_wd, wd), jnp.minimum(final_wd, wd))
 
 
 def wsd_lr(step, *, warmup_steps, anneal_steps, t_max, start_lr, ref_lr, final_lr=0.0):

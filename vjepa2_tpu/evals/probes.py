@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from vjepa2_tpu.core.schedulers import warmup_cosine_lr
+from vjepa2_tpu.core.schedulers import cosine_wd, warmup_cosine_lr
 from vjepa2_tpu.models.attentive_pooler import AttentiveClassifier
 
 
@@ -31,6 +31,9 @@ class ProbeConfig:
     final_lr: float = 0.0
     start_lr: float | None = None  # defaults to lr (reference probes warm up from ref lr)
     warmup_steps: int = 0
+    # cosine WD schedule endpoint (reference `CosineWDSchedule`,
+    # `evals/video_classification_frozen/eval.py:518-535`); None = constant
+    final_wd: float | None = None
 
 
 class ProbeGrid:
@@ -58,6 +61,9 @@ class ProbeGrid:
         )
         self.final_lrs = jnp.asarray([c.final_lr for c in self.configs], jnp.float32)
         self.wds = jnp.asarray([c.weight_decay for c in self.configs], jnp.float32)
+        self.final_wds = jnp.asarray(
+            [c.final_wd if c.final_wd is not None else c.weight_decay
+             for c in self.configs], jnp.float32)
         self.warmups = jnp.asarray([c.warmup_steps for c in self.configs], jnp.float32)
         self._adam = optax.scale_by_adam()
         self._seed = seed
@@ -78,7 +84,7 @@ class ProbeGrid:
     def train_step(self, params, opt, step, feats, labels):
         """One CE step for every probe. feats [B, N, D] f32, labels [B] int."""
 
-        def one(p, o, lr_ref, start_lr, final_lr, wd, warmup):
+        def one(p, o, lr_ref, start_lr, final_lr, wd_ref, final_wd, warmup):
             def loss_fn(pp):
                 logits = self.model.apply({"params": pp}, feats)
                 ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
@@ -94,14 +100,21 @@ class ProbeGrid:
                 t_max=self.total_steps,
                 final_lr=final_lr,
             )
+            # Reference probes schedule WD (cosine, full T_max) and decay
+            # EVERY parameter: one AdamW param group holds all
+            # named_parameters, biases/LN/query included
+            # (`evals/video_classification_frozen/eval.py:468-487`).
+            wd = cosine_wd(step, ref_wd=wd_ref, t_max=self.total_steps,
+                           final_wd=final_wd)
             new_p = jax.tree_util.tree_map(
-                lambda pp, u: pp - lr * (u + (wd * pp if pp.ndim >= 2 else 0.0)), p, updates
+                lambda pp, u: pp - lr * (u + wd * pp), p, updates
             )
             acc = (logits.argmax(-1) == labels).mean()
             return new_p, o, loss, acc
 
-        params, opt, losses, accs = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
-            params, opt, self.lrs, self.start_lrs, self.final_lrs, self.wds, self.warmups
+        params, opt, losses, accs = jax.vmap(one, in_axes=(0,) * 8)(
+            params, opt, self.lrs, self.start_lrs, self.final_lrs, self.wds,
+            self.final_wds, self.warmups
         )
         return params, opt, step + 1, {"loss": losses, "acc": accs}
 
@@ -123,11 +136,13 @@ def warmup_cosine_probe_configs(
     (list of {"ref_lr": ..., "final_lr": ..., "ref_wd": ...})."""
     out = []
     for g in grid:
+        fwd = g.get("final_wd", g.get("final_weight_decay"))
         out.append(
             ProbeConfig(
                 lr=float(g.get("ref_lr", g.get("lr", 1e-3))),
                 weight_decay=float(g.get("ref_wd", g.get("weight_decay", 0.0))),
                 final_lr=float(g.get("final_lr", 0.0)),
+                final_wd=float(fwd) if fwd is not None else None,
             )
         )
     return out

@@ -130,6 +130,40 @@ def convert_ac_predictor(state_dict: Mapping[str, Any]) -> dict:
     return tree
 
 
+def convert_attentive_classifier(state_dict: Mapping[str, Any]) -> dict:
+    """Torch `AttentiveClassifier` state dict -> flax params dict.
+
+    Reference layout (`src/models/attentive_pooler.py:16-124`):
+    pooler.query_tokens, pooler.blocks.{i}.* (depth-1 self-attn blocks),
+    pooler.cross_attention_block.{norm1,norm2,xattn.q,xattn.kv,mlp.fc1/fc2}
+    (complete_block) OR pooler.cross_attention_block.{q,kv} (bare
+    CrossAttention), linear.{weight,bias}.
+    """
+    sd = clean_prefixes(state_dict)
+    tree: dict = {}
+    _set(tree, ["pooler", "query_tokens"], _np(sd["pooler.query_tokens"]))
+    idxs = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"pooler\.blocks\.(\d+)\.", k))
+    })
+    pool = tree["pooler"]
+    for i in idxs:
+        _convert_block(pool, f"blocks_{i}", sd, f"pooler.blocks.{i}", use_silu=False)
+    cab = "pooler.cross_attention_block"
+    if cab + ".xattn.q.weight" in sd:  # complete_block=True
+        _convert_ln(pool, ["cross_attention_block", "norm1"], sd, cab + ".norm1")
+        _convert_ln(pool, ["cross_attention_block", "norm2"], sd, cab + ".norm2")
+        _convert_linear(pool, ["cross_attention_block", "xattn", "q"], sd, cab + ".xattn.q")
+        _convert_linear(pool, ["cross_attention_block", "xattn", "kv"], sd, cab + ".xattn.kv")
+        _convert_linear(pool, ["cross_attention_block", "mlp", "fc1"], sd, cab + ".mlp.fc1")
+        _convert_linear(pool, ["cross_attention_block", "mlp", "fc2"], sd, cab + ".mlp.fc2")
+    else:  # bare CrossAttention
+        _convert_linear(pool, ["cross_attention_block", "q"], sd, cab + ".q")
+        _convert_linear(pool, ["cross_attention_block", "kv"], sd, cab + ".kv")
+    _convert_linear(tree, ["linear"], sd, "linear")
+    return tree
+
+
 def convert_checkpoint(ckpt: Mapping[str, Any]) -> dict:
     """Full reference train checkpoint -> {"encoder","predictor","target_encoder"}."""
     out = {}
