@@ -98,16 +98,24 @@ class RefMinGenerator(MaskGenerator):
 
 
 def run_arm(name, collator, steps, B, T, S, log_every):
+    from vjepa2_tpu.models.predictor import VisionTransformerPredictor
+    from vjepa2_tpu.models.vision_transformer import VisionTransformer
     from vjepa2_tpu.train.pretrain import (
-        PretrainHParams, build_models, init_params, make_optimizer,
-        make_train_step,
+        PretrainHParams, init_params, make_optimizer, make_train_step,
     )
     from vjepa2_tpu.train.state import TrainState
 
-    encoder, predictor = build_models(
-        model_name="vit_tiny", crop_size=S, num_frames=T,
-        pred_depth=2, pred_embed_dim=64, pred_num_heads=2,
-        use_rope=True, num_mask_tokens=2, use_flash=False,
+    # shallow custom pair (not vit_tiny's 12 blocks): the refmin arm
+    # compiles one program per distinct batch-min length pair on ONE cpu
+    # core — graph size is the wall-clock driver here, not model quality
+    encoder = VisionTransformer(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=96, depth=4, num_heads=2, use_rope=True, dtype=jnp.float32,
+    )
+    predictor = VisionTransformerPredictor(
+        img_size=(S, S), patch_size=16, num_frames=T, tubelet_size=2,
+        embed_dim=96, predictor_embed_dim=64, depth=1, num_heads=2,
+        use_mask_tokens=True, num_mask_tokens=2, use_rope=True,
         dtype=jnp.float32,
     )
     collator.step()
