@@ -21,6 +21,10 @@ x = jnp.ones((256, 256)); print('warm matmul ok:', float((x @ x)[0, 0]))" || exi
 #    (how many ms do the 4x-padded [8,12,1664,32] tensors actually cost?)
 timeout 1700 python -u scripts/trace_step.py
 
+# 1b. narrow-head DN layout A/B (NARROW_DN, ships default-ON pending this
+#     measurement — flip the default in models/modules.py if it loses)
+timeout 4500 python -u scripts/probe_dn_step.py
+
 # 2. encode-path cap A/B: does uncapped full-N k win the ViT-g encode
 #    headline back (~8% of flash fwd) while the train program still holds?
 timeout 3000 python -u scripts/probe_encode_caps.py

@@ -1,0 +1,170 @@
+"""DN-layout ([B, H, D, N]) narrow-head flash parity (interpret mode on CPU).
+
+Reference math: transpose to BHND, split-half-rotate in XLA, dense softmax
+with the kv_valid tail mask — the exact semantics `attend_bhnd`'s XLA
+fallback implements."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjepa2_tpu.ops import flash_attention as fa
+from vjepa2_tpu.ops.flash_attention_dn import (
+    flash_attention_bhdn,
+    supports_dn,
+)
+
+B, H, D = 2, 3, 32
+
+
+def _qkv_dn(N=256, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    return tuple(
+        jnp.asarray(rng.randn(B, H, D, N), dtype) for _ in range(3)
+    )
+
+
+def _rope(N, seed=9):
+    rng = np.random.RandomState(seed)
+    cos = jnp.asarray(rng.uniform(-1, 1, (1, N, D)), jnp.float32)
+    sin = jnp.asarray(rng.uniform(-1, 1, (1, N, D)), jnp.float32)
+    return cos, sin
+
+
+def _ref(q, k, v, rope=None, kv_valid=None):
+    """Dense reference on the transposed ([B, H, N, D]) operands."""
+    qn, kn, vn = (jnp.swapaxes(t, 2, 3).astype(jnp.float32) for t in (q, k, v))
+    if rope is not None:
+        cos, sin = rope  # [1, N, D] split-half
+        qn = fa._rope_rotate(qn, cos[:, None], sin[:, None])
+        kn = fa._rope_rotate(kn, cos[:, None], sin[:, None])
+    s = jnp.einsum("bhnd,bhmd->bhnm", qn, kn) / (D**0.5)
+    if kv_valid is not None:
+        cols = jnp.arange(s.shape[-1])
+        s = jnp.where(cols[None, None, None, :] < kv_valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p, vn)
+    return jnp.swapaxes(out, 2, 3)
+
+
+def test_dn_fwd_matches_dense():
+    q, k, v = _qkv_dn()
+    ref = _ref(q, k, v)
+    out = flash_attention_bhdn(q, k, v, block_q=128, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dn_fwd_rope_kv_valid():
+    N, valid = 256, 199
+    q, k, v = _qkv_dn(N, seed=1)
+    rope = _rope(N)
+    ref = _ref(q, k, v, rope=rope, kv_valid=valid)
+    out = flash_attention_bhdn(q, k, v, rope_expanded=rope, kv_valid_len=valid,
+                               block_q=128, block_k=64, interpret=True)
+    # pad QUERY columns (>= valid) attend to everything in the kernel but
+    # are sliced off by the model; compare the real region only
+    np.testing.assert_allclose(np.asarray(out)[..., :valid],
+                               np.asarray(ref)[..., :valid],
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dn_fwd_rope_tables_transposed_input():
+    """[B|1, D, N] tables accepted directly (the hoisted-transpose path)."""
+    N = 128
+    q, k, v = _qkv_dn(N, seed=2)
+    cos, sin = _rope(N)
+    ref = _ref(q, k, v, rope=(cos, sin))
+    rope_dn = (jnp.swapaxes(cos, 1, 2), jnp.swapaxes(sin, 1, 2))
+    out = flash_attention_bhdn(q, k, v, rope_expanded=rope_dn,
+                               block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_rope,kv_valid", [(False, None), (True, 199)])
+def test_dn_grads_match_dense(use_rope, kv_valid):
+    N = 256
+    q, k, v = _qkv_dn(N, seed=3)
+    rope = _rope(N, seed=11) if use_rope else None
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.randn(B, H, D, N), jnp.float32)
+    if kv_valid is not None:
+        # zero cotangent on pad q columns (the model slices them off)
+        w = w * (jnp.arange(N)[None, None, None, :] < kv_valid)
+
+    def loss_kernel(q, k, v):
+        out = flash_attention_bhdn(q, k, v, rope_expanded=rope,
+                                   kv_valid_len=kv_valid,
+                                   block_q=128, block_k=64, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, rope=rope, kv_valid=kv_valid) * w)
+
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gk, gr, name in zip(g_kernel, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   atol=5e-5, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_dn_matches_bhnd_kernel():
+    """The two kernel families agree on the same (transposed) problem."""
+    N = 256
+    q, k, v = _qkv_dn(N, seed=6)
+    out_dn = flash_attention_bhdn(q, k, v, block_q=128, block_k=128,
+                                  interpret=True)
+    out_nd = fa.flash_attention_bhnd(
+        jnp.swapaxes(q, 2, 3), jnp.swapaxes(k, 2, 3), jnp.swapaxes(v, 2, 3),
+        block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_dn),
+                               np.asarray(jnp.swapaxes(out_nd, 2, 3)),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_predictor_forward_rides_dn_kernel():
+    """Model-level: the pretrain predictor (Dh=32) under interpret mode runs
+    the DN kernels end to end (projection -> flash -> out-proj) and matches
+    the flash-off XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vjepa2_tpu.models.predictor import vit_predictor
+
+    kw = dict(img_size=(32, 32), patch_size=16, num_frames=4, tubelet_size=2,
+              embed_dim=48, predictor_embed_dim=64, depth=2, num_heads=2,
+              use_mask_tokens=True, num_mask_tokens=2, use_rope=True)
+    flash = vit_predictor(use_flash=True, **kw)
+    plain = vit_predictor(use_flash=False, **kw)
+    rs = np.random.RandomState(7)
+    z = jnp.asarray(rs.randn(2, 5, 48), jnp.float32)
+    mx = jnp.asarray([[0, 2, 3, 5, 6], [1, 2, 4, 6, 7]])
+    my = jnp.asarray([[1, 4, 7], [0, 3, 5]])
+    params = plain.init(jax.random.PRNGKey(0), z, mx, my, 0)
+    ref = plain.apply(params, z, mx, my, 0)
+    import vjepa2_tpu.ops.flash_attention_dn as fdn
+
+    calls = []
+    orig = fdn.flash_attention_bhdn
+    fdn.flash_attention_bhdn = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = flash.apply(params, z, mx, my, 0)
+    finally:
+        fdn.flash_attention_bhdn = orig
+    assert calls, "DN kernel was not dispatched (gate regressed to fallback)"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_supports_dn_gates():
+    fa_dn_avail = fa.FORCE_MOSAIC_AVAILABLE
+    fa.FORCE_MOSAIC_AVAILABLE = True
+    try:
+        assert supports_dn(1664, 32)
+        assert not supports_dn(1664, 64)   # wide heads stay BHND
+        assert not supports_dn(1664, 24)   # split-half needs 8-aligned halves
+        assert not supports_dn(1661, 32)   # unaligned N
+    finally:
+        fa.FORCE_MOSAIC_AVAILABLE = fa_dn_avail

@@ -69,6 +69,13 @@ FUSE_LN_QKV = False
 # `scripts/probe_ln_qkv_step.py` sweeps both flags).
 FUSE_LN_MLP = False
 
+# Narrow-head (Dh < 64) attention rides the DN layout
+# (`ops/flash_attention_dn.py`): qkv projected straight into [B, H, D, N] so
+# predictor tensors stop paying the 4x lane-pad HBM tax. Read at trace time
+# inside Attention; the knob exists for one-process step-level A/Bs
+# (`scripts/probe_dn_step.py`) — flip only with a measured win/neutral.
+NARROW_DN = True
+
 def set_ln_fusions(csv: str) -> None:
     """Set both LN-prologue fusion flags from a comma list ('qkv,mlp', 'qkv',
     'mlp', or '' for neither). The one parser for every CLI that exposes the
@@ -258,7 +265,8 @@ class _QKVProjBHND(nn.Module):
     init_std: float = 0.02
 
     @nn.compact
-    def __call__(self, x, ln=None, rope_expanded=None, head_perm=None):
+    def __call__(self, x, ln=None, rope_expanded=None, head_perm=None,
+                 dn: bool = False):
         C = x.shape[-1]
         H = self.num_heads
         Dh = self.dim // H
@@ -267,6 +275,36 @@ class _QKVProjBHND(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (3 * self.dim,),
                               jnp.float32)
+        if dn:
+            # Narrow-head DN layout (`ops/flash_attention_dn.py`): contract
+            # straight into [B, H, D, N] so the (D=32, N) minor dims tile
+            # EXACTLY — the BHND layout pads D to 128 lanes (4x HBM for the
+            # predictor). The split-half rope permutation folds into the
+            # q/k weight COLUMNS via a 0/1 permutation-matrix matmul (exact;
+            # its transpose is another matmul so dW stays scatter-free —
+            # same trick as the ln path below).
+            assert ln is None, "dn path composes with the plain projection"
+            import numpy as np
+
+            w3 = kernel.reshape(C, 3, H, Dh)
+            b3 = (bias if self.use_bias
+                  else jnp.zeros((3 * self.dim,), jnp.float32)).reshape(3, H, Dh)
+            if head_perm is not None:
+                P = jnp.asarray(np.eye(Dh, dtype=np.float32)[:, list(head_perm)])
+                permute = lambda t: jnp.einsum(
+                    "...d,de->...e", t, P, preferred_element_type=jnp.float32)
+                w3 = jnp.stack([permute(w3[:, 0]), permute(w3[:, 1]), w3[:, 2]],
+                               axis=1)
+                b3 = jnp.stack([permute(b3[0]), permute(b3[1]), b3[2]])
+            w = w3.astype(self.dtype)
+            xd = x.astype(self.dtype)
+            q = jnp.einsum("bnc,chd->bhdn", xd, w[:, 0])
+            k = jnp.einsum("bnc,chd->bhdn", xd, w[:, 1])
+            v = jnp.einsum("bnc,chd->bhdn", xd, w[:, 2])
+            if self.use_bias:
+                b = b3.astype(self.dtype)[:, None, :, :, None]  # [3,1,H,Dh,1]
+                q, k, v = q + b[0], k + b[1], v + b[2]
+            return q, k, v  # each [B, H, Dh, N]; q/k pre-permuted
         if ln is not None:
             from vjepa2_tpu.ops import ln_qkv as lnq
             import numpy as np
@@ -312,7 +350,7 @@ class _OutProjBHND(nn.Module):
     proj_init_scale: float = 1.0
 
     @nn.compact
-    def __call__(self, out):
+    def __call__(self, out, dn: bool = False):
         H = self.num_heads
         Dh = self.dim // H
         kernel = self.param(
@@ -320,6 +358,9 @@ class _OutProjBHND(nn.Module):
             (self.dim, self.dim), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
         w = kernel.reshape(H, Dh, self.dim).astype(self.dtype)
+        if dn:  # [B, H, Dh, N] from the narrow-head DN kernels
+            return jnp.einsum("bhdn,hdc->bnc", out.astype(self.dtype), w) \
+                + bias.astype(self.dtype)
         return jnp.einsum("bhnd,hdc->bnc", out.astype(self.dtype), w) + bias.astype(self.dtype)
 
 
@@ -402,6 +443,40 @@ class Attention(nn.Module):
                 init_std=self.init_std, proj_init_scale=self.proj_init_scale,
                 name="proj",
             )(out)
+        # Narrow-head DN route (`ops/flash_attention_dn.py`): at Dh < 64 the
+        # BHND tensors pad the head dim to 128 lanes (4x HBM for the
+        # predictor's Dh=32); projecting straight into [B, H, D, N] tiles
+        # exactly. Gated to the predictor's shape family: flash on, no
+        # mask/causal/CP, rope pre-expanded (or off), lane-tileable N.
+        # NARROW_DN is the step-level A/B knob (read at trace time).
+        Dh = self.dim // self.num_heads
+        use_dn = (
+            NARROW_DN and self.use_flash
+            and Dh < 64 and Dh % 8 == 0 and (Dh // 2) % 8 == 0
+            and attn_mask is None and not self.is_causal
+            and self.cp_attend is None
+            and (not self.use_rope or rope_expanded is not None)
+            and N % 8 == 0
+        )
+        if use_dn:
+            from vjepa2_tpu.ops.attention import attend_bhdn
+
+            q, k, v = _QKVProjBHND(
+                dim=self.dim, num_heads=self.num_heads, use_bias=self.qkv_bias,
+                dtype=self.dtype, init_std=self.init_std, name="qkv",
+            )(x, dn=True,
+              rope_expanded=rope_expanded if self.use_rope else None,
+              head_perm=self.head_perm if self.use_rope else None)
+            out = attend_bhdn(
+                q, k, v,
+                rope_expanded=rope_expanded if self.use_rope else None,
+                use_flash=self.use_flash, kv_valid=self.kv_valid,
+            )
+            return _OutProjBHND(
+                dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+                init_std=self.init_std, proj_init_scale=self.proj_init_scale,
+                name="proj",
+            )(out, dn=True)
         # qkv contracted straight into BHND (the flash layout) and the
         # output consumed as BHND — no relayout copies at the kernel edge
         q, k, v = _QKVProjBHND(

@@ -196,6 +196,49 @@ def _apply_rope_cache_bhnd(x, cache):
     return rotated
 
 
+def attend_bhdn(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rope_expanded=None,
+    use_flash: bool = False,
+    kv_valid: int | None = None,
+) -> jnp.ndarray:
+    """`attend_bhnd` for narrow-head [B, H, D, N] operands (DN layout,
+    `ops/flash_attention_dn.py`) — the (D=32, N) minor dims tile HBM
+    exactly, where BHND pads D to 128 lanes (4x for the predictor).
+
+    q/k arrive ALREADY split-half-permuted (the projection folded the
+    permutation into its weights); ``rope_expanded`` is the standard
+    [B|1, N, D] split-half pair. The XLA fallback transposes to BHND and
+    mirrors `attend_bhnd`'s fallback math exactly.
+    """
+    from vjepa2_tpu.ops import flash_attention as fa
+    from vjepa2_tpu.ops import flash_attention_dn as fdn
+
+    B, H, d, n = q.shape
+    if use_flash and fdn.supports_dn(n, d):
+        return fdn.flash_attention_bhdn(
+            q, k, v, rope_expanded=rope_expanded, kv_valid_len=kv_valid)
+    qn, kn, vn = (jnp.swapaxes(t, 2, 3) for t in (q, k, v))
+    if rope_expanded is not None:
+        cos, sin = rope_expanded  # [B|1, N, D] split-half
+        qn = fa._rope_rotate(qn.astype(jnp.float32), cos[:, None], sin[:, None]).astype(q.dtype)
+        kn = fa._rope_rotate(kn.astype(jnp.float32), cos[:, None], sin[:, None]).astype(k.dtype)
+    scale = 1.0 / (d**0.5)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qn, kn,
+                   preferred_element_type=jnp.float32) * scale
+    if kv_valid is not None and kv_valid < n:
+        s = jnp.where(jnp.arange(n)[None, None, None, :] < kv_valid, s,
+                      jnp.float32(-1e30))
+    m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p, vn,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return jnp.swapaxes(out, 2, 3)
+
+
 def attend_bhnd(
     q: jnp.ndarray,
     k: jnp.ndarray,

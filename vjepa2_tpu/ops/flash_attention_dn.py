@@ -1,0 +1,479 @@
+"""Flash attention over [B, H, D, N] ("DN") operands — the narrow-head family.
+
+Why a second layout: TPU HBM tiles the two MINOR dims of every array at
+(8, 128). The predictor's heads are 32-wide (reference
+`src/models/predictor.py`: predictor_embed_dim 384, 12 heads), so every
+[B, H, N, 32] tensor the BHND kernels touch occupies 4x its logical HBM —
+q/k/v projections, saved-for-backward residuals, dq/dk/dv, and the fp32
+dk/dv partial sums (16x logical!). Transposing the head plane to
+[B, H, D, N] puts (D=32, N) on the minor dims: 32 is a sublane multiple and
+N is lane-tiled, so storage is EXACT. The qkv projection emits this layout
+directly ('bnc,chd->bhdn') and the out-projection consumes it
+('bhdn,hdc->bnc'), so no relayout copies appear at the kernel edges.
+
+In-kernel, everything is the transpose of the BHND math, and every dot
+lands on a Mosaic-supported dot_general form (all three forms already lower
+in `flash_attention.py`'s kernels):
+
+    sT  [bk, bq] = kT . qT   contracting D  (((0,), (0,)))
+    oT  [D,  bq] = vT . p                    (((1,), (0,)))
+    dvT [D,  bk] = doT . pT                  (((1,), (1,)))
+    dpT [bk, bq] = vT . doT  contracting D   (((0,), (0,)))
+    dqT [D,  bq] = kT . ds                   (((1,), (0,)))
+    dkT [D,  bk] = qT . dsT                  (((1,), (1,)))
+
+The online softmax reduces over dim0 (sublanes); running stats are [1, bq]
+rows. Split-half RoPE becomes two contiguous SUBLANE-half slices (D/2 = 16
+rows for the predictor, 8-aligned at D >= 16).
+
+Feature surface is intentionally narrow — the only narrow-head production
+caller is the pretrain predictor: RoPE (pre-expanded split-half tables) and
+``kv_valid_len`` tail masking; NO segments, NO causal (those shapes stay on
+the BHND kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vjepa2_tpu.ops.flash_attention import (
+    LOG2E,
+    NEG_INF,
+    _mosaic_available,
+    pick_block,
+)
+
+# Score blocks [bk, bq] fp32: 832x832 = 2.77 MB per live buffer keeps the
+# fused backward (~4 score-shaped buffers) well under the 16.00 MB
+# scoped-VMEM cliff at predictor lengths.
+DN_BLOCK_Q = 832
+DN_BLOCK_K = 832
+
+
+def _rope_rotate_dn(x, cos, sin):
+    """Split-half rotation over dim -2 (the head dim): x*cos + [-hi, lo]*sin."""
+    d = x.shape[-2] // 2
+    rot = jnp.concatenate([-x[..., d:, :], x[..., :d, :]], axis=-2)
+    return x * cos + rot * sin
+
+
+def _rope_rotate_dn_t(g, cos, sin):
+    """Adjoint of `_rope_rotate_dn` (pairs may carry different angles under
+    the reference's tiled-frequency quirk, so R^T != R(-theta))."""
+    d = g.shape[-2] // 2
+    w = g * sin
+    inv = jnp.concatenate([w[..., d:, :], -w[..., :d, :]], axis=-2)
+    return g * cos + inv
+
+
+def _mask_pad_rows(s, kv_i, nk, block_k: int, block_q: int, kv_valid: int):
+    """Mask pad KEY rows (dim0 of the transposed scores) in the LAST block."""
+    lim = kv_valid - (nk - 1) * block_k
+
+    def masked(sv):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0)
+        return jnp.where(rows < lim, sv, NEG_INF)
+
+    return jax.lax.cond(kv_i == nk - 1, masked, lambda sv: sv, s)
+
+
+def _fwd_kernel_dn(
+    q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+    o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, block_q: int, block_k: int, block_h: int,
+    use_rope: bool, kv_valid: int | None,
+):
+    """Grid (B*H/bh, nq, nk), k innermost; scratch persists across k."""
+    kv_i = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for h in range(block_h):
+        q = q_ref[0, h]  # [D, BLK_Q]
+        k = k_ref[0, h]  # [D, BLK_K]
+        if use_rope:
+            q = _rope_rotate_dn(q.astype(jnp.float32), qcos_ref[0], qsin_ref[0])
+            k = _rope_rotate_dn(
+                k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
+            ).astype(k_ref.dtype)
+        else:
+            q = q.astype(jnp.float32)
+        # fold the scale and the base-2 conversion into q (see BHND kernel)
+        q = (q * (scale * LOG2E)).astype(q_ref.dtype)
+
+        s = jax.lax.dot_general(
+            k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLK_K, BLK_Q] fp32, base-2 scaled
+        if kv_valid is not None:
+            s = _mask_pad_rows(s, kv_i, nk, block_k, block_q, kv_valid)
+
+        m_prev = m_scr[h]  # [1, BLK_Q]
+        m_cur = jnp.max(s, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)  # masked entries -> 0
+        corr = jnp.exp2(m_prev - m_new)
+        l_scr[h] = l_scr[h] * corr + jnp.sum(p, axis=0, keepdims=True)
+        acc_scr[h] = acc_scr[h] * corr + jax.lax.dot_general(
+            v_ref[0, h], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [D, BLK_Q]
+        m_scr[h] = m_new
+
+    @pl.when(kv_i == nk - 1)
+    def _finish():
+        denom = jnp.where(l_scr[...] == 0.0, 1.0, l_scr[...])  # [bh, 1, BQ]
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] * (1.0 / LOG2E) + jnp.log(denom)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "block_h", "interpret",
+                     "kv_valid"),
+)
+def _flash_fwd_bhdn(
+    q, k, v, qcos, qsin, kcos, ksin,
+    scale=None, block_q=DN_BLOCK_Q, block_k=DN_BLOCK_K, block_h=1,
+    interpret=False, kv_valid=None,
+):
+    """q, k, v: [B, H, D, N] (+ optional rope tables [B|1, D, N]).
+
+    Returns (out [B, H, D, N], lse [B, H, 1, N] fp32, natural-log scale).
+    """
+    B, H, D, N = q.shape
+    M = k.shape[3]
+    scale = scale if scale is not None else 1.0 / (D**0.5)
+    block_q = min(block_q, N)
+    block_k = min(block_k, M)
+    assert N % block_q == 0 and M % block_k == 0, (N, M, block_q, block_k)
+    assert H % block_h == 0, (H, block_h)
+    hb = H // block_h
+    use_rope = qcos is not None
+    if qcos is None:
+        qcos = qsin = jnp.zeros((1, D, N), q.dtype)
+        kcos = ksin = jnp.zeros((1, D, M), k.dtype)
+    tb = qcos.shape[0]
+
+    if kv_valid is not None:
+        assert M - kv_valid < block_k, (M, kv_valid, block_k)
+
+    grid = (B * hb, N // block_q, M // block_k)
+    kernel = functools.partial(
+        _fwd_kernel_dn, scale=scale, block_q=block_q, block_k=block_k,
+        block_h=block_h, use_rope=use_rope, kv_valid=kv_valid,
+    )
+
+    def spec_q(g, i, j, hb=hb):
+        return (g // hb, g % hb, 0, i)
+
+    def spec_k(g, i, j, hb=hb):
+        return (g // hb, g % hb, 0, j)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_h, D, block_q), spec_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h, D, block_k), spec_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h, D, block_k), spec_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, block_q),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, block_q),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, block_k),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, block_k),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_h, D, block_q), spec_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h, 1, block_q), spec_q, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D, N), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_h, 1, block_q), jnp.float32),  # running max
+            pltpu.VMEM((block_h, 1, block_q), jnp.float32),  # running denom
+            pltpu.VMEM((block_h, D, block_q), jnp.float32),  # out accumulator
+        ],
+        interpret=interpret,
+    )(q, k, v, qcos, qsin, kcos, ksin)
+    return out, lse
+
+
+def _bwd_fused_kernel_dn(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+    dq_ref, dkp_ref, dvp_ref, dq_scr,
+    *, scale: float, block_q: int, block_k: int, block_h: int,
+    use_rope: bool, kv_valid: int | None,
+):
+    """One-pass backward (see `_bwd_fused_kernel`): grid (B*hb, nq, nk), k
+    innermost; dq accumulates in scratch, dk/dv write fp32 partials
+    [B, H, nq, D, M] — UNPADDED in this layout (the BHND partials pay 4x) —
+    that XLA sums over nq. The RoPE adjoint on dk runs in XLA after the sum.
+    """
+    kv_i = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    if use_rope:
+        qcos = qcos_ref[0]
+        qsin = qsin_ref[0]
+
+    for h in range(block_h):
+        q = q_ref[0, h]  # [D, BLK_Q]
+        k = k_ref[0, h]  # [D, BLK_K]
+        if use_rope:
+            q = _rope_rotate_dn(q.astype(jnp.float32), qcos, qsin)
+            k = _rope_rotate_dn(
+                k.astype(jnp.float32), kcos_ref[0], ksin_ref[0]
+            ).astype(k_ref.dtype)
+        else:
+            q = q.astype(jnp.float32)
+        qu = q.astype(q_ref.dtype)           # unscaled (feeds dk)
+        qs = (q * (scale * LOG2E)).astype(q_ref.dtype)  # scaled (scores)
+
+        s = jax.lax.dot_general(
+            k, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLK_K, BLK_Q], base-2 scaled
+        if kv_valid is not None:
+            s = _mask_pad_rows(s, kv_i, nk, block_k, block_q, kv_valid)
+
+        lse = lse_ref[0, h]  # [1, BLK_Q], base-2 scale
+        p = jnp.where(lse > NEG_INF * 0.5, jnp.exp2(s - lse), 0.0)
+        do = do_ref[0, h]  # [D, BLK_Q]
+        dvp_ref[0, h, 0] = jax.lax.dot_general(
+            do, p.astype(do.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [D, BLK_K]
+        dp = jax.lax.dot_general(
+            v_ref[0, h], do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BLK_K, BLK_Q]
+        ds = (p * (dp - delta_ref[0, h]) * scale).astype(qu.dtype)
+        # dk partial w.r.t. the ROTATED k; adjoint applied after the XLA sum
+        dkp_ref[0, h, 0] = jax.lax.dot_general(
+            qu, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [D, BLK_K]
+        dq_scr[h] += jax.lax.dot_general(
+            k, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [D, BLK_Q]
+
+    @pl.when(kv_i == nk - 1)
+    def _finish():
+        dq_rot = dq_scr[...]
+        if use_rope:
+            dq_rot = _rope_rotate_dn_t(dq_rot, qcos, qsin)
+        dq_ref[0] = dq_rot.astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "block_h", "interpret",
+                     "kv_valid"),
+)
+def _flash_bwd_bhdn(
+    q, k, v, qcos, qsin, kcos, ksin, out, lse, do,
+    scale=None, block_q=DN_BLOCK_Q, block_k=DN_BLOCK_K, block_h=1,
+    interpret=False, kv_valid=None,
+):
+    B, H, D, N = q.shape
+    M = k.shape[3]
+    scale = scale if scale is not None else 1.0 / (D**0.5)
+    block_q = min(block_q, N)
+    block_k = min(block_k, M)
+    assert H % block_h == 0, (H, block_h)
+    if kv_valid is not None:
+        assert M - kv_valid < block_k, (M, kv_valid, block_k)
+    hb = H // block_h
+    use_rope = qcos is not None
+    if qcos is None:
+        qcos = qsin = jnp.zeros((1, D, N), q.dtype)
+        kcos = ksin = jnp.zeros((1, D, M), k.dtype)
+    tb = qcos.shape[0]
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=2, keepdims=True)  # [B, H, 1, N]
+    lse2 = lse * LOG2E  # base-2 for the in-kernel exp2 recompute
+
+    nq = N // block_q
+
+    def spec_q(g, i, j, hb=hb):
+        return (g // hb, g % hb, 0, i)
+
+    def spec_k(g, i, j, hb=hb):
+        return (g // hb, g % hb, 0, j)
+
+    def blk_q(d0):
+        return pl.BlockSpec((1, block_h, d0, block_q), spec_q,
+                            memory_space=pltpu.VMEM)
+
+    def blk_k(d0):
+        return pl.BlockSpec((1, block_h, d0, block_k), spec_k,
+                            memory_space=pltpu.VMEM)
+
+    partial_spec = pl.BlockSpec(
+        (1, block_h, 1, D, block_k),
+        lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    dq, dkp, dvp = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel_dn, scale=scale, block_q=block_q,
+            block_k=block_k, block_h=block_h, use_rope=use_rope,
+            kv_valid=kv_valid,
+        ),
+        grid=(B * hb, nq, M // block_k),
+        in_specs=[
+            blk_q(D),  # q
+            blk_k(D),  # k
+            blk_k(D),  # v
+            blk_q(D),  # do
+            blk_q(1),  # lse
+            blk_q(1),  # delta
+            pl.BlockSpec((1, D, block_q),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, block_q),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, block_k),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, block_k),
+                         lambda g, i, j, hb=hb, tb=tb: ((g // hb) % tb, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk_q(D), partial_spec, partial_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D, N), q.dtype),
+            jax.ShapeDtypeStruct((B, H, nq, D, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, nq, D, M), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_h, D, block_q), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse2, delta, qcos, qsin, kcos, ksin)
+    dk = dkp.sum(axis=2)  # [B, H, D, M] fp32
+    dv = dvp.sum(axis=2).astype(v.dtype)
+    if use_rope:
+        dk = _rope_rotate_dn_t(dk, kcos[:, None], ksin[:, None])
+    return dq, dk.astype(k.dtype), dv
+
+
+# ---------------------------------------------------------------------------
+# Differentiable entry point
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _flash_core_dn(q, k, v, qcos, qsin, kcos, ksin,
+                   scale, block_q, block_k, block_h, interpret, kv_valid):
+    out, _ = _flash_fwd_bhdn(
+        q, k, v, qcos, qsin, kcos, ksin,
+        scale=scale, block_q=block_q, block_k=block_k, block_h=block_h,
+        interpret=interpret, kv_valid=kv_valid,
+    )
+    return out
+
+
+def _core_fwd_dn(q, k, v, qcos, qsin, kcos, ksin,
+                 scale, block_q, block_k, block_h, interpret, kv_valid):
+    out, lse = _flash_fwd_bhdn(
+        q, k, v, qcos, qsin, kcos, ksin,
+        scale=scale, block_q=block_q, block_k=block_k, block_h=block_h,
+        interpret=interpret, kv_valid=kv_valid,
+    )
+    return out, (q, k, v, qcos, qsin, kcos, ksin, out, lse)
+
+
+def _core_bwd_dn(scale, block_q, block_k, block_h, interpret, kv_valid,
+                 res, g):
+    q, k, v, qcos, qsin, kcos, ksin, out, lse = res
+    dq, dk, dv = _flash_bwd_bhdn(
+        q, k, v, qcos, qsin, kcos, ksin, out, lse, g,
+        scale=scale, block_q=block_q, block_k=block_k, block_h=block_h,
+        interpret=interpret, kv_valid=kv_valid,
+    )
+
+    def zeros(x):
+        return None if x is None else jnp.zeros_like(x)
+
+    return dq, dk, dv, zeros(qcos), zeros(qsin), zeros(kcos), zeros(ksin)
+
+
+_flash_core_dn.defvjp(_core_fwd_dn, _core_bwd_dn)
+
+
+def flash_attention_bhdn(
+    q, k, v,
+    scale: float | None = None,
+    rope_expanded=None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    block_h: int | None = None,
+    interpret: bool = False,
+    kv_valid_len: int | None = None,
+):
+    """Flash attention over [B, H, D, N] tensors. Differentiable.
+
+    rope_expanded: (cos, sin) split-half tables, EITHER the standard
+    [B|1, N, D] pair from `flash_attention.expand_rope_cache` (transposed
+    here once — tiny next to the per-layer q/k traffic) or already
+    [B|1, D, N]. q/k must carry the matching head-dim permutation (fold it
+    into the qkv projection weights, `models/modules.py:_QKVProjBHND`).
+
+    kv_valid_len: static count of REAL key/value positions for tail-padded
+    sequences (the predictor stack-pads ctx+pred to a block-friendly N).
+    """
+    B, H, D, N = q.shape
+    M = k.shape[3]
+    qcos = qsin = kcos = ksin = None
+    if rope_expanded is not None:
+        cos, sin = rope_expanded
+        if cos.ndim == 2:
+            cos, sin = cos[None], sin[None]
+        if cos.shape[-1] == D and cos.shape[-2] != D:
+            cos = jnp.swapaxes(cos, -1, -2)
+            sin = jnp.swapaxes(sin, -1, -2)
+        qcos = kcos = cos.astype(jnp.float32)  # [B|1, D, N]
+        qsin = ksin = sin.astype(jnp.float32)
+    bq = pick_block(N, block_q or DN_BLOCK_Q)
+    bk = pick_block(M, block_k or DN_BLOCK_K)
+    return _flash_core_dn(q, k, v, qcos, qsin, kcos, ksin,
+                          scale, bq, bk, block_h or 1, interpret,
+                          kv_valid_len)
+
+
+def supports_dn(n: int, d: int) -> bool:
+    """DN-kernel eligibility: narrow heads only (wide heads keep the BHND
+    family — at D >= 64 the BHND padding tax is <= 2x and those shapes'
+    block policies are already tuned), head dim a sublane multiple with an
+    even split-half, lane-tiled N."""
+    if not _mosaic_available():
+        return False
+    if d % 8 != 0 or d >= 64 or (d // 2) % 8 != 0:
+        return False
+    if n % 8 != 0 or pick_block(n, DN_BLOCK_Q) < 8:
+        return False
+    return True
