@@ -192,6 +192,11 @@ def main():
         print(f"arm {name} ...", flush=True)
         curves[name], npairs[name] = run_arm(
             name, coll, args.steps, B, T, S, args.log_every)
+        # refmin compiles one program per distinct length pair; drop the
+        # previous arm's executables (an unattended 3-arm run hit LLVM
+        # "Cannot allocate memory" with everything cached + a concurrent
+        # pytest compile storm)
+        jax.clear_caches()
 
     tail = slice(args.steps * 2 // 3, None)
     term = {k: float(smooth(v)[tail].mean()) for k, v in curves.items()}
