@@ -135,6 +135,7 @@ def run_arm(name, collator, steps, B, T, S, log_every):
                       donate_argnums=(0,))
     losses = []
     shapes = set()
+    cleared_at = 0
     t0 = time.perf_counter()
     for i in range(steps):
         clips = jnp.asarray(np.random.RandomState(i).rand(B, T, S, S, 3),
@@ -144,6 +145,16 @@ def run_arm(name, collator, steps, B, T, S, log_every):
                            tuple(jnp.asarray(x) for x in me),
                            tuple(jnp.asarray(x) for x in mp))
         losses.append(float(m["loss"]))
+        if len(shapes) - cleared_at >= 25:
+            # the refmin arm compiles one program per distinct length pair;
+            # past ~36 live CPU executables LLVM dies with "Cannot allocate
+            # memory" (twice, solo, 120 GB free) — shed executables
+            # periodically and re-jit (repeats recompile, correctness
+            # unaffected)
+            jax.clear_caches()
+            step_fn = jax.jit(make_train_step(encoder, predictor, tx, hp),
+                              donate_argnums=(0,))
+            cleared_at = len(shapes)
         collator.step()
         me, mp = collator(T, B)
         if (i + 1) % log_every == 0:
