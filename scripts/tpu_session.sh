@@ -10,11 +10,33 @@ cd "$(dirname "$0")/.."
 
 # 0. backend sanity + health gate: a trivial compile must land in <120 s
 #    (a sick session measured 171.8 s for a 256x256 matmul — numbers from
-#    such sessions are noise)
-timeout 300 python -c "import jax; print('devices:', jax.devices())" || exit 1
-timeout 120 python -c "
+#    such sessions are noise; r4s2 saw a 256x256 compile hang past 400 s
+#    while jax.devices() kept succeeding). Instead of exiting, WAIT for
+#    the tunnel to heal — poll the gate every 10 min for up to
+#    WAIT_HOURS (default 10) so a queued backlog starts measuring the
+#    moment a healthy window opens.
+WAIT_HOURS=${WAIT_HOURS:-10}
+deadline=$(( $(date +%s) + WAIT_HOURS * 3600 ))
+until timeout 120 python -c "
 import jax, jax.numpy as jnp
-x = jnp.ones((256, 256)); print('warm matmul ok:', float((x @ x)[0, 0]))" || exit 1
+x = jnp.ones((256, 256)); print('warm matmul ok:', float((x @ x)[0, 0]))"
+do
+  [ "$(date +%s)" -gt "$deadline" ] && { echo "tunnel never healed"; exit 1; }
+  echo "health gate failed; retry in 600s ($(date -u +%FT%TZ))"
+  sleep 600
+done
+# single CPU core: wait for any CPU-bound probe (e.g. probe_mask_stats)
+# to finish before timing anything
+if [ -f /tmp/probe_mask.pid ]; then
+  while kill -0 "$(cat /tmp/probe_mask.pid)" 2>/dev/null; do
+    echo "waiting for CPU probe $(cat /tmp/probe_mask.pid) to finish"
+    sleep 120
+  done
+fi
+# re-confirm health right before the first timed stage
+timeout 180 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((512, 512)); print('gate2 ok:', float((x @ x)[0, 0]))" || exit 1
 
 # 1. fresh device-trace attribution of the FIXED 536 ms pretrain step —
 #    ground truth for the predictor narrow-head layout decision
