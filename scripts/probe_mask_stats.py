@@ -97,7 +97,7 @@ class RefMinGenerator(MaskGenerator):
         return ctx_b, pred_b
 
 
-def run_arm(name, collator, steps, B, T, S, log_every):
+def run_arm(name, collator, steps, B, T, S, log_every, eager=False):
     from vjepa2_tpu.models.predictor import VisionTransformerPredictor
     from vjepa2_tpu.models.vision_transformer import VisionTransformer
     from vjepa2_tpu.train.pretrain import (
@@ -135,26 +135,24 @@ def run_arm(name, collator, steps, B, T, S, log_every):
                       donate_argnums=(0,))
     losses = []
     shapes = set()
-    cleared_at = 0
     t0 = time.perf_counter()
+    # The refmin arm's variable shapes compile one XLA:CPU program per
+    # distinct length pair, and LLVM's contiguous code-section arena is
+    # NEVER released (jax.clear_caches() tried: still "LLVM ERROR: Unable
+    # to allocate section memory!" past ~40 executables). Eager execution
+    # (jax.disable_jit) has identical numerics with ZERO compiles — slower
+    # per step, but bounded.
+    import contextlib
+    eager_ctx = jax.disable_jit if eager else contextlib.nullcontext
     for i in range(steps):
         clips = jnp.asarray(np.random.RandomState(i).rand(B, T, S, S, 3),
                             jnp.float32)
         shapes.add(tuple(x.shape[-1] for x in me) + tuple(x.shape[-1] for x in mp))
-        state, m = step_fn(state, clips,
-                           tuple(jnp.asarray(x) for x in me),
-                           tuple(jnp.asarray(x) for x in mp))
+        with eager_ctx():
+            state, m = step_fn(state, clips,
+                               tuple(jnp.asarray(x) for x in me),
+                               tuple(jnp.asarray(x) for x in mp))
         losses.append(float(m["loss"]))
-        if len(shapes) - cleared_at >= 25:
-            # the refmin arm compiles one program per distinct length pair;
-            # past ~36 live CPU executables LLVM dies with "Cannot allocate
-            # memory" (twice, solo, 120 GB free) — shed executables
-            # periodically and re-jit (repeats recompile, correctness
-            # unaffected)
-            jax.clear_caches()
-            step_fn = jax.jit(make_train_step(encoder, predictor, tx, hp),
-                              donate_argnums=(0,))
-            cleared_at = len(shapes)
         collator.step()
         me, mp = collator(T, B)
         if (i + 1) % log_every == 0:
@@ -202,7 +200,8 @@ def main():
                        ("refmin", refmin)]:
         print(f"arm {name} ...", flush=True)
         curves[name], npairs[name] = run_arm(
-            name, coll, args.steps, B, T, S, args.log_every)
+            name, coll, args.steps, B, T, S, args.log_every,
+            eager=(name == "refmin"))
         # refmin compiles one program per distinct length pair; drop the
         # previous arm's executables (an unattended 3-arm run hit LLVM
         # "Cannot allocate memory" with everything cached + a concurrent
