@@ -16,14 +16,19 @@ cd "$(dirname "$0")/.."
 #    WAIT_HOURS (default 10) so a queued backlog starts measuring the
 #    moment a healthy window opens.
 WAIT_HOURS=${WAIT_HOURS:-10}
+GATE_S=${GATE_S:-300}
 deadline=$(( $(date +%s) + WAIT_HOURS * 3600 ))
-until timeout 120 python -c "
+# Gate at 300 s, not 120: r4s1 produced VALID interleaved step timings
+# (agreement 0.9974) in a session whose compiles took 150-500 s — slow
+# remote compile degrades compile_s, not steady-state chained step timing.
+# What the gate must reject is the total-hang mode (matmul never returns).
+until timeout "$GATE_S" python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256)); print('warm matmul ok:', float((x @ x)[0, 0]))"
 do
   [ "$(date +%s)" -gt "$deadline" ] && { echo "tunnel never healed"; exit 1; }
-  echo "health gate failed; retry in 600s ($(date -u +%FT%TZ))"
-  sleep 600
+  echo "health gate failed; retry in 300s ($(date -u +%FT%TZ))"
+  sleep 300
 done
 # single CPU core: wait for any CPU-bound probe (e.g. probe_mask_stats)
 # to finish before timing anything
@@ -33,8 +38,8 @@ if [ -f /tmp/probe_mask.pid ]; then
     sleep 120
   done
 fi
-# re-confirm health right before the first timed stage
-timeout 180 python -c "
+# re-confirm the tunnel answers right before the first timed stage
+timeout 300 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((512, 512)); print('gate2 ok:', float((x @ x)[0, 0]))" || exit 1
 
