@@ -130,6 +130,7 @@ def test_predictor_forward_rides_dn_kernel():
     the flash-off XLA path."""
     from jax.experimental.pallas import tpu as pltpu
 
+    from vjepa2_tpu.models import modules as M
     from vjepa2_tpu.models.predictor import vit_predictor
 
     kw = dict(img_size=(32, 32), patch_size=16, num_frames=4, tubelet_size=2,
@@ -147,12 +148,15 @@ def test_predictor_forward_rides_dn_kernel():
 
     calls = []
     orig = fdn.flash_attention_bhdn
+    narrow_dn = M.NARROW_DN
+    M.NARROW_DN = True  # default-off A/B knob; this test exercises the DN path
     fdn.flash_attention_bhdn = lambda *a, **k: calls.append(1) or orig(*a, **k)
     try:
         with pltpu.force_tpu_interpret_mode():
             out = flash.apply(params, z, mx, my, 0)
     finally:
         fdn.flash_attention_bhdn = orig
+        M.NARROW_DN = narrow_dn
     assert calls, "DN kernel was not dispatched (gate regressed to fallback)"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)

@@ -67,6 +67,50 @@ def test_flash_grad_on_device():
         assert err < 0.25, (name, err)  # bf16 inputs; grads accumulate error
 
 
+def test_flash_dn_on_device():
+    """DN-layout narrow-head family at the REAL predictor shape class:
+    N=1664 (the x128 stack-pad of ctx+pred 1623), kv_valid tail mask, RoPE.
+    This is the shape whose lane-dim block plan ((bq=N, bk=128) — blocks
+    must be x128 or array-equal in DN layout) failed to lower when the
+    picker used the sublane rule; fwd AND grad must lower and match the
+    XLA fallback math."""
+    from vjepa2_tpu.ops.attention import attend_bhdn
+    from vjepa2_tpu.ops.flash_attention import expand_rope_cache
+    from vjepa2_tpu.ops.flash_attention_dn import flash_attention_bhdn, supports_dn
+    from vjepa2_tpu.ops.rope import build_rope_cache
+
+    B, H, D, N, valid = 1, 12, 32, 1664, 1623
+    assert supports_dn(N, D)
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(B, H, D, N), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(B, H, D, N), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(B, H, D, N), jnp.bfloat16)
+    cache = build_rope_cache(jnp.arange(N, dtype=jnp.int32), D, 16, 16)
+    rope, perm = expand_rope_cache(cache, D)
+    perm = jnp.asarray(perm)
+    qp = jnp.take(q, perm, axis=2)  # q/k arrive split-half-permuted
+    kp = jnp.take(k, perm, axis=2)
+
+    def loss_dn(args):
+        qp, kp, v = args
+        out = flash_attention_bhdn(qp, kp, v, rope_expanded=rope,
+                                   kv_valid_len=valid)
+        return out.astype(jnp.float32)[..., :valid].sum()
+
+    def loss_ref(args):
+        qp, kp, v = args
+        out = attend_bhdn(qp, kp, v, rope_expanded=rope, use_flash=False,
+                          kv_valid=valid)
+        return out.astype(jnp.float32)[..., :valid].sum()
+
+    l1, g1 = jax.value_and_grad(loss_dn)((qp, kp, v))
+    l2, g2 = jax.value_and_grad(loss_ref)((qp, kp, v))
+    assert abs(float(l1) - float(l2)) / max(abs(float(l2)), 1.0) < 2e-2
+    for a, b, name in zip(g1, g2, ("q", "k", "v")):
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        assert err < 0.25, (name, err)
+
+
 def test_fused_layernorm_on_device():
     from vjepa2_tpu.ops.layernorm import layer_norm
 

@@ -73,8 +73,13 @@ FUSE_LN_MLP = False
 # (`ops/flash_attention_dn.py`): qkv projected straight into [B, H, D, N] so
 # predictor tensors stop paying the 4x lane-pad HBM tax. Read at trace time
 # inside Attention; the knob exists for one-process step-level A/Bs
-# (`scripts/probe_dn_step.py`) — flip only with a measured win/neutral.
-NARROW_DN = True
+# (`scripts/probe_dn_step.py`). Default OFF until that A/B measures a
+# win/neutral on hardware: the r3-end lesson is that unmeasured kernel-path
+# defaults landed right before a driver capture cost a round (BENCH_r03's
+# 712 ms regression), and the DN family's first hardware contact found an
+# illegal lane-dim block policy (fixed; lane blocks must be x128 or
+# array-equal, enforced only on hardware, never by interpret mode).
+NARROW_DN = False
 
 def set_ln_fusions(csv: str) -> None:
     """Set both LN-prologue fusion flags from a comma list ('qkv,mlp', 'qkv',
@@ -456,8 +461,16 @@ class Attention(nn.Module):
             and attn_mask is None and not self.is_causal
             and self.cp_attend is None
             and (not self.use_rope or rope_expanded is not None)
-            and N % 8 == 0
         )
+        if use_dn:
+            # the full eligibility check (Mosaic available + a lane-legal
+            # block plan for this N — N in DN layout is the LANE dim, so
+            # blocks must be x128 or array-equal); ineligible shapes take
+            # the BHND *flash* branch below, never attend_bhdn's XLA
+            # fallback
+            from vjepa2_tpu.ops.flash_attention_dn import supports_dn
+
+            use_dn = supports_dn(N, Dh)
         if use_dn:
             from vjepa2_tpu.ops.attention import attend_bhdn
 

@@ -83,8 +83,31 @@ def _flash_pad_plan(n: int, d: int, has_seg: bool):
     XLA; 1623 -> 1664 runs 832-wide blocks and wins by ~25%). Take the
     smallest pad whose padded length admits a >=512 block, searching up to
     +128 extra rows (<8% waste at these sizes). Returns (use_kernel, pad).
+
+    Narrow heads (Dh < 64, the predictor family) dispatch to the DN-layout
+    kernel when `models.modules.NARROW_DN` is on; DN puts N in the LANE dim,
+    where blocks must be x128 or array-equal — so the pad target there is
+    the x8 sublane step only while the full-N plan fits the score cap, else
+    the next multiple of 128 (1623 -> 1664, 2.5% waste).
     """
     from vjepa2_tpu.ops import flash_attention as fa
+
+    if d < 64 and d % 8 == 0 and (d // 2) % 8 == 0 and not has_seg:
+        from vjepa2_tpu.models.modules import NARROW_DN  # the A/B knob
+        from vjepa2_tpu.ops import flash_attention_dn as fdn
+
+        if NARROW_DN and fdn._mosaic_available():
+            pad = (-n) % 8
+            if not fdn.supports_dn(n + pad, d):
+                pad = (-n) % 128
+            if (
+                fdn.supports_dn(n + pad, d)
+                # callers that stay on the BHND kernel (attend/attend_bhnd
+                # with this plan) must also be shape-supported there
+                and fa.supports(n + pad, d, has_seg or pad > 0, False)
+                and (pad == 0 or n >= MIN_FLASH_PAD_N)
+            ):
+                return True, pad
 
     pad = (-n) % 8
     if pad or fa.pick_block(n, fa.DEFAULT_BLOCK_Q) < 512:

@@ -45,14 +45,50 @@ from vjepa2_tpu.ops.flash_attention import (
     LOG2E,
     NEG_INF,
     _mosaic_available,
-    pick_block,
 )
 
-# Score blocks [bk, bq] fp32: 832x832 = 2.77 MB per live buffer keeps the
-# fused backward (~4 score-shaped buffers) well under the 16.00 MB
-# scoped-VMEM cliff at predictor lengths.
-DN_BLOCK_Q = 832
-DN_BLOCK_K = 832
+# In this layout N sits in the LANE dim, so Mosaic only accepts N-blocks
+# that are multiples of 128 — or the whole array (array-equal blocks are
+# always legal, at any size). That rules out the sublane-style "largest
+# divisor that's a multiple of 8" policy the BHND family uses (an 816- or
+# 832-wide lane block is an illegal tile and fails to lower on hardware;
+# interpret mode never enforces this). The plan below maximizes the joint
+# score-block area on the (x128 | array-equal) divisor lattice under a
+# footprint cap sized for the fused backward's ~4 live fp32 score buffers
+# (512*1024*4 B * 4 = 8 MB against the 16.00 MB scoped-VMEM cliff),
+# preferring a large q block: q stays resident across the k stream, so at
+# predictor lengths (1623/1662 -> padded 1664 = 2^7*13) the plan lands
+# (bq=N, bk=128) and the backward's dk/dv partials collapse to nq=1.
+DN_SCORE_CAP = 512 * 1024
+
+
+def pick_block_lane(n: int, target: int) -> int:
+    """Largest divisor of ``n`` that is <= target and a multiple of 128
+    (the lane tile), falling back to ``n`` itself (array-equal)."""
+    best = 0
+    for b in range(128, min(n, target) + 1, 128):
+        if n % b == 0:
+            best = b
+    return best if best else n
+
+
+def _dn_block_plan(N: int, M: int):
+    """(block_q, block_k) legal in the lane dim, or None if nothing fits
+    under the score-footprint cap (e.g. a large N with no x128 divisor,
+    where the only legal block is the whole array)."""
+    def cands(n):
+        c = [b for b in range(128, n, 128) if n % b == 0]
+        c.append(n)
+        return c
+
+    best = None
+    for bq in cands(N):
+        for bk in cands(M):
+            if bq * bk > DN_SCORE_CAP:
+                continue
+            if best is None or (bq * bk, bq) > (best[0] * best[1], best[0]):
+                best = (bq, bk)
+    return best
 
 
 def _rope_rotate_dn(x, cos, sin):
@@ -144,7 +180,7 @@ def _fwd_kernel_dn(
 )
 def _flash_fwd_bhdn(
     q, k, v, qcos, qsin, kcos, ksin,
-    scale=None, block_q=DN_BLOCK_Q, block_k=DN_BLOCK_K, block_h=1,
+    scale=None, block_q=None, block_k=None, block_h=1,
     interpret=False, kv_valid=None,
 ):
     """q, k, v: [B, H, D, N] (+ optional rope tables [B|1, D, N]).
@@ -154,9 +190,17 @@ def _flash_fwd_bhdn(
     B, H, D, N = q.shape
     M = k.shape[3]
     scale = scale if scale is not None else 1.0 / (D**0.5)
+    if block_q is None or block_k is None:
+        plan = _dn_block_plan(N, M)
+        assert plan is not None, (N, M)
+        block_q, block_k = plan
     block_q = min(block_q, N)
     block_k = min(block_k, M)
     assert N % block_q == 0 and M % block_k == 0, (N, M, block_q, block_k)
+    if not interpret:
+        # lane-dim tiling rule (Mosaic enforces it only on hardware)
+        assert block_q % 128 == 0 or block_q == N, (block_q, N)
+        assert block_k % 128 == 0 or block_k == M, (block_k, M)
     assert H % block_h == 0, (H, block_h)
     hb = H // block_h
     use_rope = qcos is not None
@@ -295,14 +339,21 @@ def _bwd_fused_kernel_dn(
 )
 def _flash_bwd_bhdn(
     q, k, v, qcos, qsin, kcos, ksin, out, lse, do,
-    scale=None, block_q=DN_BLOCK_Q, block_k=DN_BLOCK_K, block_h=1,
+    scale=None, block_q=None, block_k=None, block_h=1,
     interpret=False, kv_valid=None,
 ):
     B, H, D, N = q.shape
     M = k.shape[3]
     scale = scale if scale is not None else 1.0 / (D**0.5)
+    if block_q is None or block_k is None:
+        plan = _dn_block_plan(N, M)
+        assert plan is not None, (N, M)
+        block_q, block_k = plan
     block_q = min(block_q, N)
     block_k = min(block_k, M)
+    if not interpret:
+        assert block_q % 128 == 0 or block_q == N, (block_q, N)
+        assert block_k % 128 == 0 or block_k == M, (block_k, M)
     assert H % block_h == 0, (H, block_h)
     if kv_valid is not None:
         assert M - kv_valid < block_k, (M, kv_valid, block_k)
@@ -458,8 +509,16 @@ def flash_attention_bhdn(
             sin = jnp.swapaxes(sin, -1, -2)
         qcos = kcos = cos.astype(jnp.float32)  # [B|1, D, N]
         qsin = ksin = sin.astype(jnp.float32)
-    bq = pick_block(N, block_q or DN_BLOCK_Q)
-    bk = pick_block(M, block_k or DN_BLOCK_K)
+    if block_q is not None or block_k is not None:
+        # explicit override (probes/tests): honored verbatim, legality
+        # asserted inside the fwd/bwd wrappers on the hardware path
+        bq, bk = block_q or N, block_k or M
+    else:
+        plan = _dn_block_plan(N, M)
+        assert plan is not None, (
+            f"no legal DN block plan for N={N}, M={M} — gate callers on "
+            f"supports_dn()")
+        bq, bk = plan
     return _flash_core_dn(q, k, v, qcos, qsin, kcos, ksin,
                           scale, bq, bk, block_h or 1, interpret,
                           kv_valid_len)
@@ -469,11 +528,10 @@ def supports_dn(n: int, d: int) -> bool:
     """DN-kernel eligibility: narrow heads only (wide heads keep the BHND
     family — at D >= 64 the BHND padding tax is <= 2x and those shapes'
     block policies are already tuned), head dim a sublane multiple with an
-    even split-half, lane-tiled N."""
+    even split-half, and a lane-legal block plan (N a multiple of 128, or
+    small enough that array-equal blocks fit the score-footprint cap)."""
     if not _mosaic_available():
         return False
     if d % 8 != 0 or d >= 64 or (d // 2) % 8 != 0:
         return False
-    if n % 8 != 0 or pick_block(n, DN_BLOCK_Q) < 8:
-        return False
-    return True
+    return _dn_block_plan(n, n) is not None
