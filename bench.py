@@ -168,8 +168,7 @@ def _median_ms(runs) -> float:
 
 
 def bench_encode(args, n_runs: int = 3):
-    from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
-    from vjepa2_tpu.ops import flash_attention as fa
+    from vjepa2_tpu.ops.flash_attention import fwd_cap_override
 
     # Encode-only programs take uncapped full-N fwd k blocks: measured win
     # (r4s2 `scripts/probe_encode_caps.py`: 361.1 vs 369.7 ms/step, ViT-g
@@ -177,12 +176,8 @@ def bench_encode(args, n_runs: int = 3):
     # The cap is restored before any train-step tracing (pretrain keeps
     # (1024, 1024) — the full-N train variant rides the 16 MB cliff
     # program-dependently, r4s1 bisect).
-    saved_cap = fa.FWD_CAP_WIDE
-    fa.FWD_CAP_WIDE = None
-    try:
+    with fwd_cap_override(None):
         return _bench_encode_inner(args, n_runs)
-    finally:
-        fa.FWD_CAP_WIDE = saved_cap
 
 
 def _bench_encode_inner(args, n_runs: int = 3):

@@ -253,3 +253,24 @@ def test_supports_gates():
         assert supports(18432, 128, has_mask=False, is_causal=False)  # streaming: long seq
         assert not supports(100, 64, has_mask=False, is_causal=False)  # unaligned N
         assert not supports(2048, 63, has_mask=False, is_causal=False)  # odd head dim
+
+
+def test_fwd_cap_override_scopes():
+    """fwd_cap_override scopes FWD_CAP_WIDE around tracing and restores it,
+    including on nesting and exceptions (forward-only programs — evals,
+    serving export, encode bench — trace uncapped)."""
+    from vjepa2_tpu.ops import flash_attention as fa
+
+    saved = fa.FWD_CAP_WIDE
+    with fa.fwd_cap_override(None):
+        assert fa.FWD_CAP_WIDE is None
+        with fa.fwd_cap_override((512, 512)):
+            assert fa.FWD_CAP_WIDE == (512, 512)
+        assert fa.FWD_CAP_WIDE is None
+    assert fa.FWD_CAP_WIDE == saved
+    try:
+        with fa.fwd_cap_override(None):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert fa.FWD_CAP_WIDE == saved

@@ -240,9 +240,20 @@ class AnticipationEval:
                 num_steps=num_steps,
             )
 
-        self._features = jax.jit(
+        _features_jit = jax.jit(
             lambda fp, clips, at: jax.lax.stop_gradient(feat_fn(fp, clips, at))
         )
+
+        def _features(fp, clips, at):
+            from vjepa2_tpu.ops.flash_attention import fwd_cap_override
+
+            # forward-only program: uncapped full-N flash blocks (measured
+            # win, `ops/flash_attention.py:fwd_cap_override`); the flag is
+            # read at trace time, which happens inside the first call
+            with fwd_cap_override(None):
+                return _features_jit(fp, clips, at)
+
+        self._features = _features
 
         def loss_fn(params, feats, verbs, nouns, actions):
             lv, ln, la = self.model.apply({"params": params}, feats)

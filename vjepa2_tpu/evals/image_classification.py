@@ -55,7 +55,13 @@ class ImageClassificationEval:
         self._encode = jax.jit(extract)
 
     def features(self, images: np.ndarray) -> jnp.ndarray:
-        return jax.lax.stop_gradient(self._encode(self.enc_params, jnp.asarray(images), None))
+        from vjepa2_tpu.ops.flash_attention import fwd_cap_override
+
+        # forward-only program: uncapped full-N flash blocks (measured win,
+        # `ops/flash_attention.py:fwd_cap_override`)
+        with fwd_cap_override(None):
+            return jax.lax.stop_gradient(
+                self._encode(self.enc_params, jnp.asarray(images), None))
 
     def train_batch(self, images, labels) -> dict:
         feats = self.features(images)

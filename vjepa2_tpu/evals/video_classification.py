@@ -61,8 +61,14 @@ class VideoClassificationEval:
 
     def features(self, clips: np.ndarray, clip_indices: Optional[np.ndarray] = None) -> jnp.ndarray:
         """clips [B, nc, T, H, W, C] float32 -> frozen features (no grad)."""
+        from vjepa2_tpu.ops.flash_attention import fwd_cap_override
+
         ci = None if clip_indices is None else jnp.asarray(clip_indices)
-        return jax.lax.stop_gradient(self._encode(self.enc_params, jnp.asarray(clips), ci))
+        # forward-only program: uncapped full-N flash blocks win here
+        # (measured, `ops/flash_attention.py:fwd_cap_override` docstring)
+        with fwd_cap_override(None):
+            return jax.lax.stop_gradient(
+                self._encode(self.enc_params, jnp.asarray(clips), ci))
 
     def init_probes(self, feat_shape):
         self._probe_state = self.grid.init(feat_shape)

@@ -70,7 +70,12 @@ def export_encoder(encoder, params, out_dir: str, batch="B",
         params,
     )
     kwargs = {"platforms": platforms} if platforms else {}
-    exported = jexport.export(jax.jit(fwd), **kwargs)(param_specs, clip_spec)
+    from vjepa2_tpu.ops.flash_attention import fwd_cap_override
+
+    # serving is forward-only: trace with uncapped full-N flash blocks
+    # (measured win, `ops/flash_attention.py:fwd_cap_override`)
+    with fwd_cap_override(None):
+        exported = jexport.export(jax.jit(fwd), **kwargs)(param_specs, clip_spec)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "encode.stablehlo"), "wb") as f:
@@ -168,12 +173,16 @@ def export_world_model(wm, out_dir: str,
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         wm.pred_params)
     kwargs = {"platforms": platforms} if platforms else {}
-    enc_exp = jexport.export(jax.jit(encode_fn), **kwargs)(
-        enc_specs, jax.ShapeDtypeStruct((H, W, 3), f32))
-    plan_exp = jexport.export(jax.jit(plan_fn), **kwargs)(
-        pred_specs, jax.ShapeDtypeStruct((), jnp.int32),
-        jax.ShapeDtypeStruct((N, D), f32), jax.ShapeDtypeStruct((7,), f32),
-        jax.ShapeDtypeStruct((N, D), f32))
+    from vjepa2_tpu.ops.flash_attention import fwd_cap_override
+
+    # serving is forward-only: trace with uncapped full-N flash blocks
+    with fwd_cap_override(None):
+        enc_exp = jexport.export(jax.jit(encode_fn), **kwargs)(
+            enc_specs, jax.ShapeDtypeStruct((H, W, 3), f32))
+        plan_exp = jexport.export(jax.jit(plan_fn), **kwargs)(
+            pred_specs, jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((N, D), f32), jax.ShapeDtypeStruct((7,), f32),
+            jax.ShapeDtypeStruct((N, D), f32))
 
     from flax import serialization
 

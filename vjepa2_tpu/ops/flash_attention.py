@@ -67,6 +67,35 @@ DEFAULT_BWD_BLOCK = 1024  # bwd keeps ~4 score-shaped fp32 buffers live: 16 MB c
 # in SOME surrounding programs when mask lengths shift N — the very failure
 # 221d074 chased), so the default caps at (1024, 1024).
 FWD_CAP_WIDE: tuple[int, int] | None = (1024, 1024)
+
+
+class fwd_cap_override:
+    """Scope a different `FWD_CAP_WIDE` around TRACING of a program.
+
+    Forward-only programs (frozen-eval feature extraction, hub/serving
+    encode, the encode benches) have none of the train step's scoped-VMEM
+    pressure, and uncapped full-N k blocks measure faster there (r4s2
+    `scripts/probe_encode_caps.py`: 361.1 vs 369.7 ms/step, ViT-g 16f@256
+    bs8 encode). The flag is read at trace time, so wrap the CALLS of the
+    jitted fn (tracing happens inside the first call; later calls pay only
+    the context-manager entry).
+    """
+
+    def __init__(self, cap: tuple[int, int] | None = None):
+        self.cap = cap
+
+    def __enter__(self):
+        global FWD_CAP_WIDE
+        self._saved = FWD_CAP_WIDE
+        FWD_CAP_WIDE = self.cap
+        return self
+
+    def __exit__(self, *exc):
+        global FWD_CAP_WIDE
+        FWD_CAP_WIDE = self._saved
+        return False
+
+
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # 1/ln 2
 
