@@ -73,13 +73,13 @@ FUSE_LN_MLP = False
 # (`ops/flash_attention_dn.py`): qkv projected straight into [B, H, D, N] so
 # predictor tensors stop paying the 4x lane-pad HBM tax. Read at trace time
 # inside Attention; the knob exists for one-process step-level A/Bs
-# (`scripts/probe_dn_step.py`). Default OFF until that A/B measures a
-# win/neutral on hardware: the r3-end lesson is that unmeasured kernel-path
-# defaults landed right before a driver capture cost a round (BENCH_r03's
-# 712 ms regression), and the DN family's first hardware contact found an
-# illegal lane-dim block policy (fixed; lane blocks must be x128 or
-# array-equal, enforced only on hardware, never by interpret mode).
-NARROW_DN = False
+# (`scripts/probe_dn_step.py`). Default ON: the r4s3 hardware A/B (full
+# ViT-L bs8 16f@256 pretrain step, interleaved one-process, 4 rounds,
+# min-of-rounds) measured dn 474.3 vs bhnd 539.4 ms/step (-65 ms, -12%),
+# after the on-hardware DN kernel tests passed at the real predictor shape
+# (lane blocks x128 or array-equal — the policy interpret mode never
+# enforces).
+NARROW_DN = True
 
 def set_ln_fusions(csv: str) -> None:
     """Set both LN-prologue fusion flags from a comma list ('qkv,mlp', 'qkv',
