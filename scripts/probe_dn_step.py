@@ -43,6 +43,9 @@ def main():
                     help="CPU-scale smoke of the sweep mechanics")
     ap.add_argument("--rounds", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--variants", default=None,
+                    help="comma list from {bhnd,dn,dn64}; first is baseline "
+                         "(default bhnd,dn,dn64)")
     args = ap.parse_args()
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -73,10 +76,23 @@ def main():
     me = tuple(jnp.asarray(x) for x in me)
     mp = tuple(jnp.asarray(x) for x in mp)
 
-    VARIANTS = [("bhnd", False), ("dn", True)]
+    import vjepa2_tpu.ops.flash_attention_dn as fdn
+
+    # (NARROW_DN, DN_MAX_D): dn = predictor-only (Dh<=48), dn64 adds the
+    # encoder family (Dh=64 — 2x lane pad in BHND on qkv stores and the
+    # saved-for-backward residuals, ~2.4 GB logical at the ViT-L step)
+    BY_NAME = {"bhnd": (False, 48), "dn": (True, 48), "dn64": (True, 64)}
+    names = [s.strip() for s in (args.variants or "bhnd,dn,dn64").split(",")]
+    unknown = [s for s in names if s not in BY_NAME]
+    assert not unknown, f"unknown variants {unknown}; pick from {list(BY_NAME)}"
+    VARIANTS = [(s, BY_NAME[s]) for s in names]
     fns = {}
-    for vname, flag in VARIANTS:
-        M.NARROW_DN = flag  # read at trace time inside Attention
+
+    def set_knobs(flags):
+        M.NARROW_DN, fdn.DN_MAX_D = flags  # read at trace time
+
+    for vname, flags in VARIANTS:
+        set_knobs(flags)
         fns[vname] = jax.jit(make_train_step(encoder, predictor, tx, hp),
                              donate_argnums=(0,))
 
@@ -88,8 +104,8 @@ def main():
 
     c = jnp.float32(0.0)
     losses = {}
-    for vname, flag in VARIANTS:
-        M.NARROW_DN = flag
+    for vname, flags in VARIANTS:
+        set_knobs(flags)
         t0 = time.perf_counter()
         c = one(vname, c) * 1e-30
         float(c)
@@ -97,12 +113,14 @@ def main():
         losses[vname] = float(one(vname, jnp.float32(0.0)))  # warmup + loss
         c = jnp.float32(losses[vname]) * 1e-30
     # layouts must agree numerically on the SAME evolving state
-    print(f"loss bhnd={losses['bhnd']:.6f} dn={losses['dn']:.6f} "
-          f"(consecutive steps, not identical-state — sanity only)", flush=True)
+    print("loss " + " ".join(f"{v}={losses[v]:.6f}" for v, _ in VARIANTS)
+          + " (consecutive steps, not identical-state — sanity only)",
+          flush=True)
 
     best = {v: 1e9 for v, _ in VARIANTS}
     for rnd in range(rounds):
-        for vname, _ in VARIANTS:
+        for vname, flags in VARIANTS:
+            set_knobs(flags)  # retrace-safe: each fn has its own cache
             t0 = time.perf_counter()
             for _ in range(iters):
                 c = one(vname, c) * 1e-30
@@ -110,7 +128,7 @@ def main():
             dt = (time.perf_counter() - t0) / iters
             best[vname] = min(best[vname], dt)
             print(f"round {rnd} {vname}: {dt * 1e3:.1f} ms/step", flush=True)
-    base = best["bhnd"]
+    base = best[VARIANTS[0][0]]
     print("RESULT " + " | ".join(
         f"{v} {best[v] * 1e3:.1f} ms/step ({(base - best[v]) * 1e3:+.1f})"
         for v, _ in VARIANTS), flush=True)

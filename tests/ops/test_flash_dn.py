@@ -163,12 +163,61 @@ def test_predictor_forward_rides_dn_kernel():
 
 
 def test_supports_dn_gates():
+    import vjepa2_tpu.ops.flash_attention_dn as fdn
+
     fa_dn_avail = fa.FORCE_MOSAIC_AVAILABLE
     fa.FORCE_MOSAIC_AVAILABLE = True
     try:
         assert supports_dn(1664, 32)
-        assert not supports_dn(1664, 64)   # wide heads stay BHND
+        assert not supports_dn(1664, 64)   # wide heads stay BHND by default
         assert not supports_dn(1664, 24)   # split-half needs 8-aligned halves
         assert not supports_dn(1661, 32)   # unaligned N
+        # the routing bound is a knob (encoder-width A/B,
+        # scripts/probe_dn_step.py --variants dn64): at DN_MAX_D=64 the
+        # ViT-L/g encoder shapes become eligible
+        fdn.DN_MAX_D = 64
+        try:
+            assert supports_dn(2048, 64)
+            assert not supports_dn(2048, 80)
+        finally:
+            fdn.DN_MAX_D = 48
     finally:
         fa.FORCE_MOSAIC_AVAILABLE = fa_dn_avail
+
+
+def test_dn_d64_fwd_grads_match_dense():
+    """Encoder-width (D=64) DN parity — the dn64 A/B variant's math."""
+    N, D64 = 256, 64
+    rng = np.random.RandomState(13)
+    q, k, v = (jnp.asarray(rng.randn(B, H, D64, N), jnp.float32)
+               for _ in range(3))
+    cos = jnp.asarray(rng.uniform(-1, 1, (1, N, D64)), jnp.float32)
+    sin = jnp.asarray(rng.uniform(-1, 1, (1, N, D64)), jnp.float32)
+    w = jnp.asarray(rng.randn(B, H, D64, N), jnp.float32)
+
+    def _ref64(q, k, v):
+        qn, kn, vn = (jnp.swapaxes(t, 2, 3).astype(jnp.float32)
+                      for t in (q, k, v))
+        qn = fa._rope_rotate(qn, cos[:, None], sin[:, None])
+        kn = fa._rope_rotate(kn, cos[:, None], sin[:, None])
+        s = jnp.einsum("bhnd,bhmd->bhnm", qn, kn) / (D64**0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.swapaxes(jnp.einsum("bhnm,bhmd->bhnd", p, vn), 2, 3)
+
+    def loss_kernel(q, k, v):
+        out = flash_attention_bhdn(q, k, v, rope_expanded=(cos, sin),
+                                   block_q=128, block_k=128, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref64(q, k, v) * w)
+
+    out = flash_attention_bhdn(q, k, v, rope_expanded=(cos, sin),
+                               block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref64(q, k, v)),
+                               atol=2e-5, rtol=1e-4)
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gk, gr, name in zip(g_kernel, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   atol=5e-5, rtol=5e-4, err_msg=f"d{name}")

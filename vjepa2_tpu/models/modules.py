@@ -69,7 +69,8 @@ FUSE_LN_QKV = False
 # `scripts/probe_ln_qkv_step.py` sweeps both flags).
 FUSE_LN_MLP = False
 
-# Narrow-head (Dh < 64) attention rides the DN layout
+# Narrow-head (Dh <= ops.flash_attention_dn.DN_MAX_D) attention rides the
+# DN layout
 # (`ops/flash_attention_dn.py`): qkv projected straight into [B, H, D, N] so
 # predictor tensors stop paying the 4x lane-pad HBM tax. Read at trace time
 # inside Attention; the knob exists for one-process step-level A/Bs
@@ -448,20 +449,24 @@ class Attention(nn.Module):
                 init_std=self.init_std, proj_init_scale=self.proj_init_scale,
                 name="proj",
             )(out)
-        # Narrow-head DN route (`ops/flash_attention_dn.py`): at Dh < 64 the
-        # BHND tensors pad the head dim to 128 lanes (4x HBM for the
-        # predictor's Dh=32); projecting straight into [B, H, D, N] tiles
-        # exactly. Gated to the predictor's shape family: flash on, no
-        # mask/causal/CP, rope pre-expanded (or off), lane-tileable N.
-        # NARROW_DN is the step-level A/B knob (read at trace time).
+        # Narrow-head DN route (`ops/flash_attention_dn.py`): at Dh below
+        # the 128-lane tile the BHND tensors pad the head dim (4x HBM for
+        # the predictor's Dh=32, 2x for the encoders' Dh=64); projecting
+        # straight into [B, H, D, N] tiles exactly. Gated to shapes the DN
+        # family supports: flash on, no mask/causal/CP, rope pre-expanded
+        # (or off), `dn_head_eligible` width (<= fdn.DN_MAX_D), lane-
+        # tileable N. NARROW_DN is the step-level A/B knob (trace time).
         Dh = self.dim // self.num_heads
         use_dn = (
             NARROW_DN and self.use_flash
-            and Dh < 64 and Dh % 8 == 0 and (Dh // 2) % 8 == 0
             and attn_mask is None and not self.is_causal
             and self.cp_attend is None
             and (not self.use_rope or rope_expanded is not None)
         )
+        if use_dn:
+            from vjepa2_tpu.ops.flash_attention_dn import dn_head_eligible
+
+            use_dn = dn_head_eligible(Dh)
         if use_dn:
             # the full eligibility check (Mosaic available + a lane-legal
             # block plan for this N — N in DN layout is the LANE dim, so

@@ -92,9 +92,10 @@ def _flash_pad_plan(n: int, d: int, has_seg: bool):
     """
     from vjepa2_tpu.ops import flash_attention as fa
 
-    if d < 64 and d % 8 == 0 and (d // 2) % 8 == 0 and not has_seg:
+    from vjepa2_tpu.ops import flash_attention_dn as fdn
+
+    if fdn.dn_head_eligible(d) and not has_seg:
         from vjepa2_tpu.models.modules import NARROW_DN  # the A/B knob
-        from vjepa2_tpu.ops import flash_attention_dn as fdn
 
         if NARROW_DN and fdn._mosaic_available():
             pad = (-n) % 8

@@ -524,14 +524,29 @@ def flash_attention_bhdn(
                           kv_valid_len)
 
 
+# Inclusive head-dim bound for the DN route. Default keeps DN on the
+# narrow (predictor) family only: at D >= 64 the BHND padding tax is <= 2x
+# and those shapes' block policies are already tuned. The encoder family
+# (ViT-L/g: Dh = 64, still a 2x lane pad in BHND — ~2.4 GB of saved
+# residuals at the ViT-L pretrain step) is a step-level A/B away: flip to
+# 64 (`scripts/probe_dn_step.py --variants bhnd,dn,dn64`) and measure
+# before changing the default.
+DN_MAX_D = 48
+
+
+def dn_head_eligible(d: int) -> bool:
+    """Head-dim leg of the DN gate: a sublane multiple with an 8-aligned
+    split-half (the in-kernel RoPE rotation slices D/2 sublane rows), under
+    the `DN_MAX_D` routing bound."""
+    return d % 8 == 0 and (d // 2) % 8 == 0 and d <= DN_MAX_D
+
+
 def supports_dn(n: int, d: int) -> bool:
-    """DN-kernel eligibility: narrow heads only (wide heads keep the BHND
-    family — at D >= 64 the BHND padding tax is <= 2x and those shapes'
-    block policies are already tuned), head dim a sublane multiple with an
-    even split-half, and a lane-legal block plan (N a multiple of 128, or
-    small enough that array-equal blocks fit the score-footprint cap)."""
+    """DN-kernel eligibility: `dn_head_eligible` heads and a lane-legal
+    block plan (N a multiple of 128, or small enough that array-equal
+    blocks fit the score-footprint cap)."""
     if not _mosaic_available():
         return False
-    if d % 8 != 0 or d >= 64 or (d // 2) % 8 != 0:
+    if not dn_head_eligible(d):
         return False
     return _dn_block_plan(n, n) is not None
