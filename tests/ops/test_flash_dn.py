@@ -169,18 +169,19 @@ def test_supports_dn_gates():
     fa.FORCE_MOSAIC_AVAILABLE = True
     try:
         assert supports_dn(1664, 32)
-        assert not supports_dn(1664, 64)   # wide heads stay BHND by default
+        assert supports_dn(1664, 64)       # encoder widths ride DN (dn64 A/B)
+        assert supports_dn(2048, 64)
+        assert not supports_dn(2048, 80)   # wider than the routing bound
         assert not supports_dn(1664, 24)   # split-half needs 8-aligned halves
         assert not supports_dn(1661, 32)   # unaligned N
-        # the routing bound is a knob (encoder-width A/B,
-        # scripts/probe_dn_step.py --variants dn64): at DN_MAX_D=64 the
-        # ViT-L/g encoder shapes become eligible
-        fdn.DN_MAX_D = 64
+        # the routing bound is a knob: 48 restores the predictor-only route
+        orig_max_d = fdn.DN_MAX_D
+        fdn.DN_MAX_D = 48
         try:
-            assert supports_dn(2048, 64)
-            assert not supports_dn(2048, 80)
+            assert supports_dn(1664, 32)
+            assert not supports_dn(2048, 64)
         finally:
-            fdn.DN_MAX_D = 48
+            fdn.DN_MAX_D = orig_max_d
     finally:
         fa.FORCE_MOSAIC_AVAILABLE = fa_dn_avail
 

@@ -79,7 +79,9 @@ FUSE_LN_MLP = False
 # min-of-rounds) measured dn 474.3 vs bhnd 539.4 ms/step (-65 ms, -12%),
 # after the on-hardware DN kernel tests passed at the real predictor shape
 # (lane blocks x128 or array-equal — the policy interpret mode never
-# enforces).
+# enforces). The r4s4 follow-up A/B extended the route to encoder widths
+# (DN_MAX_D 48 -> 64 in ops/flash_attention_dn.py): dn64 406.9 vs dn
+# 465.9 ms/step, another -59 ms.
 NARROW_DN = True
 
 def set_ln_fusions(csv: str) -> None:

@@ -524,14 +524,16 @@ def flash_attention_bhdn(
                           kv_valid_len)
 
 
-# Inclusive head-dim bound for the DN route. Default keeps DN on the
-# narrow (predictor) family only: at D >= 64 the BHND padding tax is <= 2x
-# and those shapes' block policies are already tuned. The encoder family
-# (ViT-L/g: Dh = 64, still a 2x lane pad in BHND — ~2.4 GB of saved
-# residuals at the ViT-L pretrain step) is a step-level A/B away: flip to
-# 64 (`scripts/probe_dn_step.py --variants bhnd,dn,dn64`) and measure
-# before changing the default.
-DN_MAX_D = 48
+# Inclusive head-dim bound for the DN route. Default 64 routes BOTH the
+# predictor family (Dh=32, 4x lane pad in BHND) and the encoder family
+# (ViT-L/g: Dh=64, 2x lane pad — ~2.4 GB of saved residuals at the ViT-L
+# pretrain step) through the DN layout. Measured on hardware
+# (`scripts/probe_dn_step.py --variants dn,dn64`, full ViT-L bs8 16f@256
+# pretrain step, interleaved one-process, 4 rounds, min-of-rounds):
+# dn64 406.9 vs dn 465.9 ms/step (-59 ms on top of the -65 ms the
+# predictor-only DN routing already bought vs BHND). Set to 48 to keep DN
+# predictor-only, or 0 to disable the route entirely.
+DN_MAX_D = 64
 
 
 def dn_head_eligible(d: int) -> bool:
