@@ -103,13 +103,45 @@ def test_fpc_bucket_sampler():
 
 
 def test_device_prefetch():
+    import pytest
+
     from vjepa2_tpu.data.prefetch import device_prefetch
 
     items = [np.ones((2, 2)) * i for i in range(5)]
-    out = list(device_prefetch(items, size=2))
-    assert len(out) == 5
-    for i, o in enumerate(out):
-        assert float(np.asarray(o)[0, 0]) == i
-    # with a transform
-    out2 = list(device_prefetch(items, size=3, transform=lambda x: x * 2))
-    assert float(np.asarray(out2[1])[0, 0]) == 2.0
+    for threaded in (True, False):
+        out = list(device_prefetch(items, size=2, threaded=threaded))
+        assert len(out) == 5
+        for i, o in enumerate(out):
+            assert float(np.asarray(o)[0, 0]) == i
+        # with a transform
+        out2 = list(device_prefetch(items, size=3, transform=lambda x: x * 2,
+                                    threaded=threaded))
+        assert float(np.asarray(out2[1])[0, 0]) == 2.0
+
+    # producer exceptions surface on the consuming thread, after the
+    # already-staged items drain
+    def boom():
+        yield np.zeros((2, 2))
+        yield np.ones((2, 2))
+        raise RuntimeError("decode failed")
+
+    it = device_prefetch(boom(), size=2)
+    assert float(np.asarray(next(it))[0, 0]) == 0.0
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+    # early consumer exit stops the producer thread (no hang on the
+    # bounded queue even with an infinite source)
+    import itertools
+    import threading
+    import time
+
+    before = threading.active_count()
+    gen = device_prefetch(
+        (np.full((1,), i) for i in itertools.count()), size=1)
+    assert float(np.asarray(next(gen))[0]) == 0.0
+    gen.close()
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch thread leaked"

@@ -402,10 +402,17 @@ class Pretrainer:
                 nonlocal window_t0
                 if not pending:
                     return
-                dt_ms = (time.perf_counter() - window_t0) * 1e3 / len(pending)
+                losses = []
                 for itr_i, m in pending:
-                    loss_i = float(m["loss"])
+                    loss_i = float(m["loss"])  # blocks until the step is done
                     assert np.isfinite(loss_i), f"non-finite loss at itr {itr_i}"
+                    losses.append((itr_i, loss_i))
+                # window time AFTER the fetches: with async dispatch (and the
+                # threaded prefetch) the host can run ahead of the device, so
+                # timing before the sync measures dispatch speed, not
+                # throughput
+                dt_ms = (time.perf_counter() - window_t0) * 1e3 / len(pending)
+                for itr_i, loss_i in losses:
                     loss_meter.update(loss_i)
                     time_meter.update(dt_ms)
                     csv.log(epoch, itr_i, loss_i, dt_ms)
