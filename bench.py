@@ -452,18 +452,27 @@ def bench_e2e(args):
     B, T, S = args.batch, args.frames, args.size
     steps = max(args.steps, 12)
     with tempfile.TemporaryDirectory() as root:
-        # synthetic mp4s at the target resolution (24 clips, resampled)
+        # synthetic mp4s at the target resolution. The MANIFEST must cover
+        # `steps` batches (the map-style loader ends the epoch after
+        # len(dataset)/B batches; 24 rows silently capped earlier captures at
+        # 3 steps) — but cv2 encoding dominates setup wall, so write 24
+        # unique files and repeat them across rows (decode cost per batch is
+        # unchanged; each row decodes independently)
+        n_rows = max(24, B * steps)
         manifest = os.path.join(root, "train.csv")
+        paths = []
+        for i in range(24):
+            path = os.path.join(root, f"v{i}.mp4")
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (S, S))
+            rs = np.random.RandomState(i)
+            base = rs.randint(0, 255, (S, S, 3), np.uint8)
+            for t in range(T * 4):
+                w.write(np.roll(base, 3 * t, axis=1))
+            w.release()
+            paths.append(path)
         with open(manifest, "w") as f:
-            for i in range(24):
-                path = os.path.join(root, f"v{i}.mp4")
-                w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (S, S))
-                rs = np.random.RandomState(i)
-                base = rs.randint(0, 255, (S, S, 3), np.uint8)
-                for t in range(T * 4):
-                    w.write(np.roll(base, 3 * t, axis=1))
-                w.release()
-                f.write(f"{path} {i % 10}\n")
+            for i in range(n_rows):
+                f.write(f"{paths[i % 24]} {i % 10}\n")
 
         cfg = PretrainConfig.from_dict({
             "folder": os.path.join(root, "out"),
