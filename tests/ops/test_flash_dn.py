@@ -222,3 +222,97 @@ def test_dn_d64_fwd_grads_match_dense():
     for gk, gr, name in zip(g_kernel, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                    atol=5e-5, rtol=5e-4, err_msg=f"d{name}")
+
+
+def _ref_seg(q, k, v, seg, rope=None):
+    """Dense reference with the seg_q >= seg_k rule ([N] or [B, N] ids)."""
+    qn, kn, vn = (jnp.swapaxes(t, 2, 3).astype(jnp.float32) for t in (q, k, v))
+    if rope is not None:
+        cos, sin = rope
+        qn = fa._rope_rotate(qn, cos[:, None], sin[:, None])
+        kn = fa._rope_rotate(kn, cos[:, None], sin[:, None])
+    d = q.shape[2]
+    s = jnp.einsum("bhnd,bhmd->bhnm", qn, kn) / (d**0.5)
+    sq = seg if seg.ndim > 1 else seg[None]
+    mask = sq[:, None, :, None] >= sq[:, None, None, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p, vn)
+    return jnp.swapaxes(out, 2, 3)
+
+
+@pytest.mark.parametrize("batched", [False, True])
+def test_dn_segments_fwd(batched):
+    """Frame-causal segment masking (the AC predictor's rule) on the DN
+    kernel: shared [N] and per-batch [B, N] ids, fp32 row+column side
+    inputs (no outer-product trick needed in this layout)."""
+    N = 256
+    q, k, v = _qkv_dn(N, seed=8)
+    rng = np.random.RandomState(21)
+    if batched:
+        seg = jnp.asarray(rng.randint(0, 4, (B, N)), jnp.int32)
+    else:
+        seg = jnp.asarray(np.repeat(np.arange(4), N // 4), jnp.int32)
+    ref = _ref_seg(q, k, v, seg)
+    out = flash_attention_bhdn(q, k, v, segment_ids=seg,
+                               block_q=128, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dn_segments_rope_grads():
+    """Segments + fused RoPE through the fused one-pass backward."""
+    N = 256
+    q, k, v = _qkv_dn(N, seed=9)
+    rope = _rope(N, seed=22)
+    seg = jnp.asarray(np.repeat(np.arange(4), N // 4), jnp.int32)
+    rng = np.random.RandomState(23)
+    w = jnp.asarray(rng.randn(B, H, D, N), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        out = flash_attention_bhdn(q, k, v, rope_expanded=rope,
+                                   segment_ids=seg,
+                                   block_q=128, block_k=64, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_seg(q, k, v, seg, rope=rope) * w)
+
+    out = flash_attention_bhdn(q, k, v, rope_expanded=rope, segment_ids=seg,
+                               block_q=128, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_seg(q, k, v, seg, rope=rope)),
+                               atol=2e-5, rtol=1e-4)
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gk, gr, name in zip(g_kernel, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   atol=5e-5, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_dn_segments_padded_dispatch():
+    """`attend_bhdn` pads lane-illegal N (e.g. the AC teacher-forcing 1806)
+    to x128 with int32-max pad-key ids and slices the pad columns off."""
+    from vjepa2_tpu.models import modules as M
+    from vjepa2_tpu.ops.attention import attend_bhdn
+
+    N = 72 * 3  # 216: not x128 -> pads to 256
+    q, k, v = _qkv_dn(N, seed=10)
+    seg = jnp.asarray(np.repeat(np.arange(3), 72), jnp.int32)
+    ref = _ref_seg(q, k, v, seg)
+    from jax.experimental.pallas import tpu as pltpu
+
+    import vjepa2_tpu.ops.flash_attention_dn as fdn
+
+    calls = []
+    orig = fdn.flash_attention_bhdn
+    fdn.flash_attention_bhdn = lambda *a, **k: calls.append(1) or orig(
+        *a, **{**k, "interpret": True})
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = attend_bhdn(q, k, v, use_flash=True, segment_ids=seg)
+    finally:
+        fdn.flash_attention_bhdn = orig
+    assert calls, "padded segment dispatch did not reach the DN kernel"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

@@ -529,3 +529,53 @@ def Mesh "m"
     out = st.ExportToString()
     a2 = U.parse_usda(out).GetPrimAtPath("/m").GetAttribute("weight")
     assert a2.meta == a.meta
+
+
+def test_shipped_asset_configs(tmp_path):
+    """The example configs under assets/robots/ (reference-parity schemas,
+    see assets/robots/README.md) drive both CLIs end-to-end: 4-solid OBJ ->
+    USD with the v2 joint chain, then v3 config-driven structuring."""
+    assets = os.path.join(os.path.dirname(__file__), "..", "..",
+                          "assets", "robots")
+    conv_cfg = os.path.join(assets, "v2", "configs", "conversion_config.yaml")
+    struct_cfg = os.path.join(assets, "v3", "configs", "structure_config.yaml")
+
+    # 4 connected shells -> solid_0..solid_3
+    lines = []
+    vbase = 0
+    for i in range(4):
+        lines.append(f"o part{i}")
+        for tri in _cube_tris([3.0 * i, 0, 0], 1.0):
+            for p in tri:
+                lines.append(f"v {p[0]} {p[1]} {p[2]}")
+        for t in range(12):
+            a = vbase + 3 * t
+            lines.append(f"f {a + 1} {a + 2} {a + 3}")
+        vbase += 36
+    obj = tmp_path / "arm.obj"
+    obj.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "arm.usda"
+    s2u.step_to_usd(str(obj), str(out), str(conv_cfg))
+    st = U.Stage.Open(str(out))
+    for i in range(4):
+        assert st.GetPrimAtPath(f"/Model/solid_{i}/visual").IsA("Mesh")
+    j = st.GetPrimAtPath("/Model/solid_0/main_arm_joint1")
+    assert j.GetTypeName() == "PhysicsPrismaticJoint"
+    assert j.GetRelationship("physics:body0").GetTargets() == ["/Model/solid_1"]
+    # chain: joint{k} hangs solid_{k-1} off solid_k
+    assert st.GetPrimAtPath("/Model/solid_2/main_arm_joint3").IsValid()
+
+    with open(struct_cfg) as f:
+        cfg = yaml.safe_load(f)
+    out2 = tmp_path / "arm_structured.usda"
+    ok = um.modify_usd_file_with_config(str(out), str(out2), cfg,
+                                        rotation_degrees=-90.0)
+    assert ok
+    st2 = U.Stage.Open(str(out2))
+    model = st2.GetPrimAtPath("/Model")
+    assert model.GetAttribute("xformOp:rotateX").Get() == pytest.approx(-90.0)
+    for i in range(4):
+        vis = st2.GetPrimAtPath(f"/Model/solid_{i}/visual")
+        assert vis.HasAPI("PhysicsCollisionAPI")
+        assert vis.GetAttribute("physics:approximation").Get() == "convexHull"

@@ -20,6 +20,12 @@ import jax.numpy as jnp
 
 from vjepa2_tpu.models.modules import ACBlock, LayerNorm, trunc_normal
 
+# A/B knob (read at trace time, `scripts/probe_ac_dn.py`): hoist the flash
+# rope expansion out of the per-layer calls AND unlock ACAttention's
+# narrow-head DN route (Dh=64 pads 2x in BHND). Off = the r4 path (per-layer
+# rope_cache through the BHND segment kernel).
+AC_ROPE_HOIST = True
+
 
 class VisionTransformerPredictorAC(nn.Module):
     img_size: tuple[int, int] = (224, 224)
@@ -88,6 +94,21 @@ class VisionTransformerPredictorAC(nn.Module):
         rope_cache = build_ac_rope_cache(
             P // self.num_heads, T, gh, gw, cond, gh
         ) if self.use_rope else None
+        # hoist the flash split-half rope expansion out of the 24 per-layer
+        # calls (same machinery as `VisionTransformer`); the head permutation
+        # folds into each layer's qkv weights, which also unlocks the
+        # narrow-head DN route (Dh = 1024/16 = 64) in ACAttention
+        rope_expanded = head_perm = None
+        from vjepa2_tpu.models import vision_transformer as _vt
+
+        if (rope_cache is not None and _vt.ROPE_HOIST and AC_ROPE_HOIST
+                and self.use_flash):
+            from vjepa2_tpu.ops import flash_attention as fa
+
+            rope_expanded, perm = fa.expand_rope_cache(
+                rope_cache, P // self.num_heads)
+            head_perm = tuple(int(i) for i in perm)
+            rope_cache = None
         # T/gh/gw/cond drive Python control flow inside ACAttention (mask
         # construction, conditioning-token splits) — keep them static under
         # remat (indices count self as 0)
@@ -107,8 +128,9 @@ class VisionTransformerPredictorAC(nn.Module):
                 layer_id=i,
                 dtype=self.dtype,
                 init_std=self.init_std,
+                head_perm=head_perm,
                 name=f"predictor_blocks_{i}",
-            )(tokens, T, gh, gw, cond, rope_cache)
+            )(tokens, T, gh, gw, cond, rope_cache, rope_expanded)
 
         tokens = tokens.reshape(B, T, cond + gh * gw, P)[:, :, cond:, :]
         tokens = tokens.reshape(B, T * gh * gw, P)

@@ -613,15 +613,53 @@ class ACAttention(nn.Module):
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
     proj_init_scale: float = 1.0
+    # static split-half head permutation matching model-level pre-expanded
+    # rope tables (set together with the `rope_expanded` call arg by
+    # `VisionTransformerPredictorAC`'s hoist — same machinery as `Attention`)
+    head_perm: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int,
-                 rope_cache=None):
-        from vjepa2_tpu.ops.attention import attend_bhnd
+                 rope_cache=None, rope_expanded=None):
+        from vjepa2_tpu.ops.attention import attend_bhdn, attend_bhnd
 
         B, N, C = x.shape
         A, HW = cond_tokens, h_patches * w_patches
         assert N == T * (A + HW)
+
+        # frame-causal = per-token frame-id segments (O(N), kernel-friendly)
+        segment_ids = None
+        if self.is_frame_causal:
+            segment_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), A + HW)  # [N]
+
+        # Narrow-head DN route (same rationale as `Attention`): the AC
+        # predictor's Dh = 1024/16 = 64 pads 2x in BHND; frame-causal rides
+        # the DN kernels as segment ids (fp32 row+column side inputs).
+        # Requires the model-level rope hoist (rope_expanded + head_perm).
+        Dh = self.dim // self.num_heads
+        use_dn = NARROW_DN and self.use_flash and rope_expanded is not None
+        if use_dn:
+            from vjepa2_tpu.ops.flash_attention_dn import (
+                dn_head_eligible, supports_dn)
+
+            npad = N + ((-N) % 128)
+            use_dn = dn_head_eligible(Dh) and supports_dn(npad, Dh)
+        if use_dn:
+            q, k, v = _QKVProjBHND(
+                dim=self.dim, num_heads=self.num_heads, use_bias=self.qkv_bias,
+                dtype=self.dtype, init_std=self.init_std, name="qkv",
+            )(x, dn=True, rope_expanded=rope_expanded,
+              head_perm=self.head_perm)
+            out = attend_bhdn(
+                q, k, v, rope_expanded=rope_expanded,
+                use_flash=self.use_flash, segment_ids=segment_ids,
+            )
+            return _OutProjBHND(
+                dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+                init_std=self.init_std, proj_init_scale=self.proj_init_scale,
+                name="proj",
+            )(out, dn=True)
+
         # BHND contraction: same trick as `Attention` — no relayout copies
         # at the flash custom-call boundary
         q, k, v = _QKVProjBHND(
@@ -633,11 +671,6 @@ class ACAttention(nn.Module):
             rope_cache = build_ac_rope_cache(
                 self.dim // self.num_heads, T, h_patches, w_patches, A, self.grid_size
             )
-
-        # frame-causal = per-token frame-id segments (O(N), kernel-friendly)
-        segment_ids = None
-        if self.is_frame_causal:
-            segment_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), A + HW)  # [N]
 
         out = attend_bhnd(
             q, k, v, rope_cache=rope_cache, segment_ids=segment_ids,
@@ -775,10 +808,11 @@ class ACBlock(nn.Module):
     layer_id: int = 0
     dtype: Dtype = jnp.float32
     init_std: float = 0.02
+    head_perm: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, T: int, h_patches: int, w_patches: int, cond_tokens: int,
-                 rope_cache=None):
+                 rope_cache=None, rope_expanded=None):
         rescale = 1.0 / math.sqrt(2.0 * (self.layer_id + 1))
         y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = ACAttention(
@@ -791,9 +825,10 @@ class ACBlock(nn.Module):
             dtype=self.dtype,
             init_std=self.init_std,
             proj_init_scale=rescale,
+            head_perm=self.head_perm,
             name="attn",
         )(y, T=T, h_patches=h_patches, w_patches=w_patches, cond_tokens=cond_tokens,
-          rope_cache=rope_cache)
+          rope_cache=rope_cache, rope_expanded=rope_expanded)
         x = x + y
         norm2 = LayerNorm(dtype=self.dtype, name="norm2")
         hidden = int(self.dim * self.mlp_ratio)

@@ -227,6 +227,7 @@ def attend_bhdn(
     rope_expanded=None,
     use_flash: bool = False,
     kv_valid: int | None = None,
+    segment_ids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """`attend_bhnd` for narrow-head [B, H, D, N] operands (DN layout,
     `ops/flash_attention_dn.py`) — the (D=32, N) minor dims tile HBM
@@ -234,16 +235,41 @@ def attend_bhdn(
 
     q/k arrive ALREADY split-half-permuted (the projection folded the
     permutation into its weights); ``rope_expanded`` is the standard
-    [B|1, N, D] split-half pair. The XLA fallback transposes to BHND and
+    [B|1, N, D] split-half pair. segment_ids ([N] or [B, N] int, attend iff
+    seg_q >= seg_k — the AC predictor's frame-causal rule) ride the DN
+    kernel as fp32 side inputs; lane-illegal lengths (N not x128, e.g. the
+    AC teacher-forcing 7*(256+2)=1806) are zero-padded here to the next
+    x128 with pad keys at segment int32-max (never attended) and the pad
+    columns sliced off the output. The XLA fallback transposes to BHND and
     mirrors `attend_bhnd`'s fallback math exactly.
     """
     from vjepa2_tpu.ops import flash_attention as fa
     from vjepa2_tpu.ops import flash_attention_dn as fdn
 
     B, H, d, n = q.shape
-    if use_flash and fdn.supports_dn(n, d):
+    if use_flash and fdn.supports_dn(n, d) and segment_ids is None:
         return fdn.flash_attention_bhdn(
             q, k, v, rope_expanded=rope_expanded, kv_valid_len=kv_valid)
+    if use_flash and segment_ids is not None and kv_valid is None:
+        pad = (-n) % 128
+        if fdn.supports_dn(n + pad, d):
+            seg = segment_ids if segment_ids.ndim > 1 else segment_ids[None]
+            seg = seg.astype(jnp.int32)
+            rc = rope_expanded
+            if pad:
+                zpad = lambda t: jnp.pad(t, [(0, 0)] * 3 + [(0, pad)])
+                q, k, v = zpad(q), zpad(k), zpad(v)
+                # pad keys: id int32-max so no real query attends them; the
+                # pad QUERY columns compute garbage and are sliced off below
+                seg = jnp.pad(seg, ((0, 0), (0, pad)),
+                              constant_values=jnp.iinfo(jnp.int32).max)
+                if rc is not None:
+                    cos, sin = rc  # [B|1, N, D] split-half
+                    w = ((0, 0), (0, pad), (0, 0))
+                    rc = (jnp.pad(cos, w), jnp.pad(sin, w))
+            out = fdn.flash_attention_bhdn(
+                q, k, v, rope_expanded=rc, segment_ids=seg)
+            return out[..., :n] if pad else out
     qn, kn, vn = (jnp.swapaxes(t, 2, 3) for t in (q, k, v))
     if rope_expanded is not None:
         cos, sin = rope_expanded  # [B|1, N, D] split-half
@@ -254,6 +280,10 @@ def attend_bhdn(
                    preferred_element_type=jnp.float32) * scale
     if kv_valid is not None and kv_valid < n:
         s = jnp.where(jnp.arange(n)[None, None, None, :] < kv_valid, s,
+                      jnp.float32(-1e30))
+    if segment_ids is not None:
+        seg_q = segment_ids if segment_ids.ndim > 1 else segment_ids[None]
+        s = jnp.where((seg_q[:, None, :, None] >= seg_q[:, None, None, :]), s,
                       jnp.float32(-1e30))
     m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m)

@@ -26,10 +26,18 @@ The online softmax reduces over dim0 (sublanes); running stats are [1, bq]
 rows. Split-half RoPE becomes two contiguous SUBLANE-half slices (D/2 = 16
 rows for the predictor, 8-aligned at D >= 16).
 
-Feature surface is intentionally narrow — the only narrow-head production
-caller is the pretrain predictor: RoPE (pre-expanded split-half tables) and
-``kv_valid_len`` tail masking; NO segments, NO causal (those shapes stay on
-the BHND kernels).
+Production callers (all Dh <= `DN_MAX_D`): the pretrain predictor (Dh=32),
+the ViT-L/g encoders (Dh=64, `models/modules.py:Attention`'s DN gate), and
+the AC predictor (Dh=64, frame-causal via ``segment_ids``). Feature surface:
+RoPE (pre-expanded split-half tables), ``kv_valid_len`` tail masking, and
+segment-id masking (attend iff seg_q >= seg_k — the frame-causal rule,
+reference `src/models/utils/modules.py` build_action_block_causal_attention_mask
+re-expressed as O(N) per-token ids). Segments ride as TWO fp32 side inputs
+in the layouts the [bk, bq] transposed scores want: a [S, 1, N] lane ROW for
+queries and a [S, M, 1] sublane COLUMN for keys — so the in-kernel mask is a
+plain broadcast compare, no transpose and no outer-product tricks (contrast
+`flash_attention._seg_mask`, where both operands are columns). NO token-level
+causal (encode it in the segment ids).
 """
 
 from __future__ import annotations
@@ -119,11 +127,12 @@ def _mask_pad_rows(s, kv_i, nk, block_k: int, block_q: int, kv_valid: int):
 
 
 def _fwd_kernel_dn(
-    q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+    segq_ref, segk_ref, q_ref, k_ref, v_ref,
+    qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale: float, block_q: int, block_k: int, block_h: int,
-    use_rope: bool, kv_valid: int | None,
+    use_rope: bool, use_segments: bool, kv_valid: int | None,
 ):
     """Grid (B*H/bh, nq, nk), k innermost; scratch persists across k."""
     kv_i = pl.program_id(2)
@@ -134,6 +143,12 @@ def _fwd_kernel_dn(
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    mask = None
+    if use_segments:
+        # [bk, bq] = seg_q row [1, bq] >= seg_k column [bk, 1]: the two
+        # operands arrive in exactly the layouts the broadcast wants
+        mask = segq_ref[0] >= segk_ref[0]
 
     for h in range(block_h):
         q = q_ref[0, h]  # [D, BLK_Q]
@@ -151,6 +166,8 @@ def _fwd_kernel_dn(
         s = jax.lax.dot_general(
             k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BLK_K, BLK_Q] fp32, base-2 scaled
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
         if kv_valid is not None:
             s = _mask_pad_rows(s, kv_i, nk, block_k, block_q, kv_valid)
 
@@ -179,11 +196,12 @@ def _fwd_kernel_dn(
                      "kv_valid"),
 )
 def _flash_fwd_bhdn(
-    q, k, v, qcos, qsin, kcos, ksin,
+    q, k, v, segq, segk, qcos, qsin, kcos, ksin,
     scale=None, block_q=None, block_k=None, block_h=1,
     interpret=False, kv_valid=None,
 ):
-    """q, k, v: [B, H, D, N] (+ optional rope tables [B|1, D, N]).
+    """q, k, v: [B, H, D, N] (+ optional rope tables [B|1, D, N]; optional
+    fp32 segment ids segq [S, 1, N] / segk [S, M, 1], S in {1, B}).
 
     Returns (out [B, H, D, N], lse [B, H, 1, N] fp32, natural-log scale).
     """
@@ -208,6 +226,11 @@ def _flash_fwd_bhdn(
         qcos = qsin = jnp.zeros((1, D, N), q.dtype)
         kcos = ksin = jnp.zeros((1, D, M), k.dtype)
     tb = qcos.shape[0]
+    use_segments = segq is not None
+    if segq is None:
+        segq = jnp.zeros((1, 1, N), jnp.float32)
+        segk = jnp.zeros((1, M, 1), jnp.float32)
+    sb = segq.shape[0]
 
     if kv_valid is not None:
         assert M - kv_valid < block_k, (M, kv_valid, block_k)
@@ -215,7 +238,8 @@ def _flash_fwd_bhdn(
     grid = (B * hb, N // block_q, M // block_k)
     kernel = functools.partial(
         _fwd_kernel_dn, scale=scale, block_q=block_q, block_k=block_k,
-        block_h=block_h, use_rope=use_rope, kv_valid=kv_valid,
+        block_h=block_h, use_rope=use_rope, use_segments=use_segments,
+        kv_valid=kv_valid,
     )
 
     def spec_q(g, i, j, hb=hb):
@@ -224,10 +248,19 @@ def _flash_fwd_bhdn(
     def spec_k(g, i, j, hb=hb):
         return (g // hb, g % hb, 0, j)
 
+    seg_specs = [
+        pl.BlockSpec((1, 1, block_q),
+                     lambda g, i, j, hb=hb, sb=sb: ((g // hb) % sb, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, 1),
+                     lambda g, i, j, hb=hb, sb=sb: ((g // hb) % sb, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=seg_specs + [
             pl.BlockSpec((1, block_h, D, block_q), spec_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_h, D, block_k), spec_k, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_h, D, block_k), spec_k, memory_space=pltpu.VMEM),
@@ -258,16 +291,16 @@ def _flash_fwd_bhdn(
             pltpu.VMEM((block_h, D, block_q), jnp.float32),  # out accumulator
         ],
         interpret=interpret,
-    )(q, k, v, qcos, qsin, kcos, ksin)
+    )(segq, segk, q, k, v, qcos, qsin, kcos, ksin)
     return out, lse
 
 
 def _bwd_fused_kernel_dn(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    segq_ref, segk_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qcos_ref, qsin_ref, kcos_ref, ksin_ref,
     dq_ref, dkp_ref, dvp_ref, dq_scr,
     *, scale: float, block_q: int, block_k: int, block_h: int,
-    use_rope: bool, kv_valid: int | None,
+    use_rope: bool, use_segments: bool, kv_valid: int | None,
 ):
     """One-pass backward (see `_bwd_fused_kernel`): grid (B*hb, nq, nk), k
     innermost; dq accumulates in scratch, dk/dv write fp32 partials
@@ -285,6 +318,10 @@ def _bwd_fused_kernel_dn(
         qcos = qcos_ref[0]
         qsin = qsin_ref[0]
 
+    mask = None
+    if use_segments:
+        mask = segq_ref[0] >= segk_ref[0]  # [bk, bq]
+
     for h in range(block_h):
         q = q_ref[0, h]  # [D, BLK_Q]
         k = k_ref[0, h]  # [D, BLK_K]
@@ -301,6 +338,8 @@ def _bwd_fused_kernel_dn(
         s = jax.lax.dot_general(
             k, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BLK_K, BLK_Q], base-2 scaled
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
         if kv_valid is not None:
             s = _mask_pad_rows(s, kv_i, nk, block_k, block_q, kv_valid)
 
@@ -338,7 +377,7 @@ def _bwd_fused_kernel_dn(
                      "kv_valid"),
 )
 def _flash_bwd_bhdn(
-    q, k, v, qcos, qsin, kcos, ksin, out, lse, do,
+    q, k, v, segq, segk, qcos, qsin, kcos, ksin, out, lse, do,
     scale=None, block_q=None, block_k=None, block_h=1,
     interpret=False, kv_valid=None,
 ):
@@ -363,6 +402,11 @@ def _flash_bwd_bhdn(
         qcos = qsin = jnp.zeros((1, D, N), q.dtype)
         kcos = ksin = jnp.zeros((1, D, M), k.dtype)
     tb = qcos.shape[0]
+    use_segments = segq is not None
+    if segq is None:
+        segq = jnp.zeros((1, 1, N), jnp.float32)
+        segk = jnp.zeros((1, M, 1), jnp.float32)
+    sb = segq.shape[0]
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=2, keepdims=True)  # [B, H, 1, N]
@@ -389,14 +433,22 @@ def _flash_bwd_bhdn(
         lambda g, i, j, hb=hb: (g // hb, g % hb, i, 0, j),
         memory_space=pltpu.VMEM,
     )
+    seg_specs = [
+        pl.BlockSpec((1, 1, block_q),
+                     lambda g, i, j, hb=hb, sb=sb: ((g // hb) % sb, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, 1),
+                     lambda g, i, j, hb=hb, sb=sb: ((g // hb) % sb, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     dq, dkp, dvp = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel_dn, scale=scale, block_q=block_q,
             block_k=block_k, block_h=block_h, use_rope=use_rope,
-            kv_valid=kv_valid,
+            use_segments=use_segments, kv_valid=kv_valid,
         ),
         grid=(B * hb, nq, M // block_k),
-        in_specs=[
+        in_specs=seg_specs + [
             blk_q(D),  # q
             blk_k(D),  # k
             blk_k(D),  # v
@@ -424,7 +476,7 @@ def _flash_bwd_bhdn(
         ],
         scratch_shapes=[pltpu.VMEM((block_h, D, block_q), jnp.float32)],
         interpret=interpret,
-    )(q, k, v, do, lse2, delta, qcos, qsin, kcos, ksin)
+    )(segq, segk, q, k, v, do, lse2, delta, qcos, qsin, kcos, ksin)
     dk = dkp.sum(axis=2)  # [B, H, D, M] fp32
     dv = dvp.sum(axis=2).astype(v.dtype)
     if use_rope:
@@ -437,32 +489,32 @@ def _flash_bwd_bhdn(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def _flash_core_dn(q, k, v, qcos, qsin, kcos, ksin,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def _flash_core_dn(q, k, v, segq, segk, qcos, qsin, kcos, ksin,
                    scale, block_q, block_k, block_h, interpret, kv_valid):
     out, _ = _flash_fwd_bhdn(
-        q, k, v, qcos, qsin, kcos, ksin,
+        q, k, v, segq, segk, qcos, qsin, kcos, ksin,
         scale=scale, block_q=block_q, block_k=block_k, block_h=block_h,
         interpret=interpret, kv_valid=kv_valid,
     )
     return out
 
 
-def _core_fwd_dn(q, k, v, qcos, qsin, kcos, ksin,
+def _core_fwd_dn(q, k, v, segq, segk, qcos, qsin, kcos, ksin,
                  scale, block_q, block_k, block_h, interpret, kv_valid):
     out, lse = _flash_fwd_bhdn(
-        q, k, v, qcos, qsin, kcos, ksin,
+        q, k, v, segq, segk, qcos, qsin, kcos, ksin,
         scale=scale, block_q=block_q, block_k=block_k, block_h=block_h,
         interpret=interpret, kv_valid=kv_valid,
     )
-    return out, (q, k, v, qcos, qsin, kcos, ksin, out, lse)
+    return out, (q, k, v, segq, segk, qcos, qsin, kcos, ksin, out, lse)
 
 
 def _core_bwd_dn(scale, block_q, block_k, block_h, interpret, kv_valid,
                  res, g):
-    q, k, v, qcos, qsin, kcos, ksin, out, lse = res
+    q, k, v, segq, segk, qcos, qsin, kcos, ksin, out, lse = res
     dq, dk, dv = _flash_bwd_bhdn(
-        q, k, v, qcos, qsin, kcos, ksin, out, lse, g,
+        q, k, v, segq, segk, qcos, qsin, kcos, ksin, out, lse, g,
         scale=scale, block_q=block_q, block_k=block_k, block_h=block_h,
         interpret=interpret, kv_valid=kv_valid,
     )
@@ -470,7 +522,8 @@ def _core_bwd_dn(scale, block_q, block_k, block_h, interpret, kv_valid,
     def zeros(x):
         return None if x is None else jnp.zeros_like(x)
 
-    return dq, dk, dv, zeros(qcos), zeros(qsin), zeros(kcos), zeros(ksin)
+    return (dq, dk, dv, zeros(segq), zeros(segk),
+            zeros(qcos), zeros(qsin), zeros(kcos), zeros(ksin))
 
 
 _flash_core_dn.defvjp(_core_fwd_dn, _core_bwd_dn)
@@ -480,6 +533,7 @@ def flash_attention_bhdn(
     q, k, v,
     scale: float | None = None,
     rope_expanded=None,
+    segment_ids=None,
     block_q: int | None = None,
     block_k: int | None = None,
     block_h: int | None = None,
@@ -494,11 +548,30 @@ def flash_attention_bhdn(
     [B|1, D, N]. q/k must carry the matching head-dim permutation (fold it
     into the qkv projection weights, `models/modules.py:_QKVProjBHND`).
 
+    segment_ids: [N] or [B, N] int; token i attends to j iff
+    seg[i] >= seg[j] (the frame-causal rule — reference
+    `src/models/utils/modules.py` block-causal mask as O(N) ids). Converted
+    once here to the two fp32 side layouts the kernels want. Mutually
+    exclusive with kv_valid_len: fold tail pads into the ids (int32-max on
+    pad keys) instead.
+
     kv_valid_len: static count of REAL key/value positions for tail-padded
-    sequences (the predictor stack-pads ctx+pred to a block-friendly N).
+    sequences (the predictor stacks-pads ctx+pred to a block-friendly N).
     """
     B, H, D, N = q.shape
     M = k.shape[3]
+    assert segment_ids is None or kv_valid_len is None, (
+        "flash_attention_bhdn: segment_ids + kv_valid_len is unsupported — "
+        "give pad keys segment id int32-max instead")
+    segq = segk = None
+    if segment_ids is not None:
+        seg = segment_ids
+        if seg.ndim == 1:
+            seg = seg[None]
+        seg = seg.astype(jnp.float32)
+        assert seg.shape[1] == N == M, (seg.shape, N, M)
+        segq = seg[:, None, :]   # [S, 1, N] lane row
+        segk = seg[:, :, None]   # [S, M, 1] sublane column
     qcos = qsin = kcos = ksin = None
     if rope_expanded is not None:
         cos, sin = rope_expanded
@@ -519,7 +592,7 @@ def flash_attention_bhdn(
             f"no legal DN block plan for N={N}, M={M} — gate callers on "
             f"supports_dn()")
         bq, bk = plan
-    return _flash_core_dn(q, k, v, qcos, qsin, kcos, ksin,
+    return _flash_core_dn(q, k, v, segq, segk, qcos, qsin, kcos, ksin,
                           scale, bq, bk, block_h or 1, interpret,
                           kv_valid_len)
 
