@@ -35,7 +35,7 @@ MASK_CFGS = [
     {"spatial_scale": (0.7, 0.7), "temporal_scale": (1.0, 1.0),
      "aspect_ratio": (0.75, 1.5), "num_blocks": 2},
 ]
-B, T, S = 8, 16, 256
+B, T, S = 8, 16, 256  # --cooldown overrides to the 64f@256 bs12 accum3 shape
 
 
 def classify(name: str) -> str:
@@ -60,9 +60,14 @@ def classify(name: str) -> str:
 
 
 def main():
+    global B, T, S
     ap = argparse.ArgumentParser()
     ap.add_argument("--fuse-ln", default="",
                     help="comma list of LN prologues to fuse: qkv,mlp")
+    ap.add_argument("--cooldown", action="store_true",
+                    help="trace the 64f@256 bs12 accum3 remat cooldown step "
+                         "(VERDICT r5: attribute the 29%% MFU)")
+    ap.add_argument("--steps", type=int, default=3)
     args = ap.parse_args()
     import vjepa2_tpu.models.modules as _M
     try:
@@ -71,38 +76,54 @@ def main():
         raise SystemExit(f"--fuse-ln: {e}")
     sel = {s.strip() for s in args.fuse_ln.split(",") if s.strip()}
     trace_dir = "/tmp/jax_trace_step" + ("_" + "_".join(sorted(sel)) if sel else "")
+    accum, remat = 1, False
+    if args.cooldown:
+        B, T, S = 12, 64, 256
+        accum, remat = 3, True
+        trace_dir = "/tmp/jax_trace_cooldown"
     os.system(f"rm -rf {trace_dir}")
 
     encoder, predictor = build_models(
         model_name="vit_large", crop_size=S, num_frames=T,
         pred_depth=12, pred_embed_dim=384, pred_num_heads=12,
         use_rope=True, num_mask_tokens=2, use_flash=True, dtype=jnp.bfloat16,
+        use_activation_checkpointing=remat,
     )
+    b = B // accum
+
+    def _shape(clips, menc, mpred):
+        if accum == 1:
+            return (clips, tuple(map(jnp.asarray, menc)),
+                    tuple(map(jnp.asarray, mpred)))
+        return (clips.reshape(accum, b, *clips.shape[1:]),
+                tuple(jnp.asarray(m).reshape(accum, b, -1) for m in menc),
+                tuple(jnp.asarray(m).reshape(accum, b, -1) for m in mpred))
+
     coll = MaskCollator(MASK_CFGS, dataset_fpcs=[T], crop_size=(S, S))
     coll.step()
     me0, mp0 = coll(T, B)
     hp = PretrainHParams(ipe=100, epochs=10)
     tx = make_optimizer(hp)
-    params, target = init_params(encoder, predictor, 0, (B, T, S, S, 3),
-                                 jnp.asarray(me0[0]), jnp.asarray(mp0[0]))
+    params, target = init_params(encoder, predictor, 0, (b, T, S, S, 3),
+                                 jnp.asarray(me0[0][:b]), jnp.asarray(mp0[0][:b]))
     state = TrainState.create(params, target, tx)
-    step = jax.jit(make_train_step(encoder, predictor, tx, hp), donate_argnums=(0,))
+    step = jax.jit(make_train_step(encoder, predictor, tx, hp, grad_accum=accum),
+                   donate_argnums=(0,))
     rs = np.random.RandomState(0)
     clips = jnp.asarray(rs.rand(B, T, S, S, 3), jnp.bfloat16)
-    me = tuple(jnp.asarray(m) for m in me0)
-    mp = tuple(jnp.asarray(m) for m in mp0)
+    c0, me, mp = _shape(clips, me0, mp0)
 
-    state, m = step(state, clips, me, mp)
+    state, m = step(state, c0, me, mp)
     print("compiled; loss", float(m["loss"]), flush=True)
 
     carry = m["loss"]
     with jax.profiler.trace(trace_dir):
-        for _ in range(3):
+        for _ in range(args.steps):
             coll.step()
             menc, mpred = coll(T, B)
-            state, m = step(state, clips + carry.astype(jnp.bfloat16) * 0,
-                            tuple(map(jnp.asarray, menc)),
-                            tuple(map(jnp.asarray, mpred)))
+            ci, mei, mpi = _shape(clips + carry.astype(jnp.bfloat16) * 0,
+                                  menc, mpred)
+            state, m = step(state, ci, mei, mpi)
             carry = m["loss"]
         float(carry)
 
@@ -140,7 +161,7 @@ def main():
         by_class[classify(name)] += dur
         by_name[name] += dur
         total += dur
-    n_steps = 3
+    n_steps = args.steps
     print(f"\ntotal device op time: {total:.1f} ms over {n_steps} steps "
           f"= {total / n_steps:.1f} ms/step")
     print("\nby class (ms/step):")

@@ -136,12 +136,19 @@ def test_device_prefetch():
     import threading
     import time
 
-    before = threading.active_count()
+    def prefetch_threads():
+        # track the producer thread BY NAME: global active_count() is flaky
+        # (JAX runtime / pytest plugin threads can start mid-test)
+        return [t for t in threading.enumerate()
+                if t.name.startswith("device-prefetch")]
+
+    before = prefetch_threads()
     gen = device_prefetch(
         (np.full((1,), i) for i in itertools.count()), size=1)
     assert float(np.asarray(next(gen))[0]) == 0.0
+    assert len(prefetch_threads()) == len(before) + 1
     gen.close()
     deadline = time.time() + 10
-    while threading.active_count() > before and time.time() < deadline:
+    while len(prefetch_threads()) > len(before) and time.time() < deadline:
         time.sleep(0.05)
-    assert threading.active_count() <= before, "prefetch thread leaked"
+    assert len(prefetch_threads()) <= len(before), "prefetch thread leaked"

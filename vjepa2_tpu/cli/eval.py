@@ -114,6 +114,13 @@ def make_video_eval_loaders(data_c, batch_size, fpc, res, num_clips, num_classes
                             synthetic=False):
     """(train, val) loaders for probe evals; synthetic when paths unset."""
     if synthetic or not data_c.get("dataset_train"):
+        if not synthetic:
+            from vjepa2_tpu.core.logging import get_logger
+
+            get_logger(__name__).warning(
+                "video eval: no `data.dataset_train` in the eval config — "
+                "probing on SYNTHETIC clips; the logged top-1 is a smoke "
+                "signal, NOT a benchmark number.")
         return (
             SyntheticEvalLoader(batch_size, num_clips, fpc, res, num_classes, ipe),
             SyntheticEvalLoader(batch_size, num_clips, fpc, res, num_classes,

@@ -88,6 +88,14 @@ def device_prefetch(
             yield item
     finally:
         stop.set()
+        # drain anything the producer managed to enqueue between the
+        # consumer's exit and stop being observed — releases already-staged
+        # device buffers (HBM) promptly instead of holding them until GC
+        try:
+            while True:
+                q.get_nowait()
+        except _queue.Empty:
+            pass
 
 
 def _sync_prefetch(iterator, size, transform, sharding):

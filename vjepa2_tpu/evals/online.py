@@ -115,6 +115,13 @@ def make_online_eval(eval_cfg_paths, ipe: int = 20, epochs: int = 1, tag: str = 
                 world_size=jax.process_count(), rank=jax.process_index(),
             )
         else:
+            logger.warning(
+                "online eval %r: no dataset root in the eval config — "
+                "probing on SYNTHETIC data; the logged top-1 is a smoke "
+                "signal, NOT a benchmark number. Set `data.root` (and "
+                "optionally `data.root_val`) to probe real data.",
+                cfg.get("eval_name", "image_classification"))
+
             def synth(batches, seed):
                 r = np.random.default_rng(seed)
                 out = []
@@ -192,6 +199,11 @@ def make_online_eval(eval_cfg_paths, ipe: int = 20, epochs: int = 1, tag: str = 
 
             train_batches, val_batches = make(train_ds, True), make(val_ds, False)
         else:
+            logger.warning(
+                "online eval %r: no annotation/dataset paths in the eval "
+                "config — probing on SYNTHETIC clips; the logged recall is "
+                "a smoke signal, NOT a benchmark number.",
+                cfg.get("eval_name", "action_anticipation"))
             nv, nn_, na = (int(data_c.get("num_verbs", 5)),
                            int(data_c.get("num_nouns", 7)),
                            int(data_c.get("num_actions", 9)))

@@ -98,10 +98,15 @@ def set_ln_fusions(csv: str) -> None:
     FUSE_LN_MLP = "mlp" in sel
 
 
-# Diagnostic knob (scripts/probe_step_buckets.py): False runs LayerNorm in
-# the compute dtype to measure what the fp32 upcast+reduce costs at step
-# level. Production keeps True — the reference's autocast leaves LN in fp32.
+# Diagnostic knob (scripts/probe_step_buckets.py, scripts/probe_ln_encode.py):
+# False runs LayerNorm in the compute dtype to measure what the fp32
+# upcast+reduce costs at step level. Production keeps True — the reference's
+# autocast leaves LN in fp32.
 LN_UPCAST = True
+# With LN_UPCAST False: True computes ONLY the mean/var reductions in fp32
+# and normalizes in the compute dtype (bf16 loads/stores, fp32 accumulation —
+# the numerics middle ground VERDICT r4 weak-#3 asks to measure).
+LN_MIXED_STATS = False
 
 
 class LayerNorm(nn.Module):
@@ -126,6 +131,16 @@ class LayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         if return_params:
             return scale, bias
+        if not LN_UPCAST and LN_MIXED_STATS:
+            # stats reductions in fp32, normalize/affine in compute dtype
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+                - jnp.square(mean), 0.0)
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            y = (x - mean.astype(self.dtype)) * inv.astype(self.dtype)
+            return y * scale.astype(self.dtype) + bias.astype(self.dtype)
         ln_dtype = jnp.float32 if LN_UPCAST else self.dtype
         xf = x.astype(ln_dtype)
         mean = jnp.mean(xf, axis=-1, keepdims=True)

@@ -143,7 +143,8 @@ class VisionTransformerPredictor(nn.Module):
             # pad tail in-kernel instead of padding q/k/v per call
             from vjepa2_tpu.ops.attention import _flash_pad_plan
 
-            use_kernel, pad = _flash_pad_plan(n_seq, P // self.num_heads, False)
+            use_kernel, pad = _flash_pad_plan(n_seq, P // self.num_heads, False,
+                                              dn_caller=True)
             if use_kernel and pad:
                 tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
                 positions_sorted = jnp.pad(positions_sorted, ((0, 0), (0, pad)))

@@ -162,7 +162,7 @@ class VisionTransformer(nn.Module):
             from vjepa2_tpu.ops.attention import _flash_pad_plan
 
             use_kernel, pad = _flash_pad_plan(n_real, self.embed_dim // self.num_heads,
-                                              False)
+                                              False, dn_caller=True)
             if use_kernel and pad:
                 tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
                 if pos_ids is not None:

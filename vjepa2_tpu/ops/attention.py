@@ -75,8 +75,9 @@ def sdpa(
 MIN_FLASH_PAD_N = 512  # below this the N^2 matrices are cheap; skip padding
 
 
-def _flash_pad_plan(n: int, d: int, has_seg: bool):
-    """Shared pad/dispatch decision for `attend`/`attend_bhnd`.
+def _flash_pad_plan(n: int, d: int, has_seg: bool, dn_caller: bool = False):
+    """Shared pad/dispatch decision for `attend`/`attend_bhnd` and the
+    model-level stack-pad sizing.
 
     Padding amount is a free choice: more pad can buy a much better block
     factorization (1623 -> 1624 only factors as 232-wide blocks and LOSES to
@@ -84,17 +85,21 @@ def _flash_pad_plan(n: int, d: int, has_seg: bool):
     smallest pad whose padded length admits a >=512 block, searching up to
     +128 extra rows (<8% waste at these sizes). Returns (use_kernel, pad).
 
-    Narrow heads (Dh < 64, the predictor family) dispatch to the DN-layout
-    kernel when `models.modules.NARROW_DN` is on; DN puts N in the LANE dim,
-    where blocks must be x128 or array-equal — so the pad target there is
-    the x8 sublane step only while the full-N plan fits the score cap, else
-    the next multiple of 128 (1623 -> 1664, 2.5% waste).
+    dn_caller: True only for callers whose attention will route the
+    DN-layout kernel when eligible (the model stack-pad sizing in
+    `vision_transformer`/`predictor`, whose Attention modules carry the DN
+    gate). DN puts N in the LANE dim, where blocks must be x128 or
+    array-equal — so the pad target there is the x8 sublane step only while
+    the full-N plan fits the score cap, else the next multiple of 128
+    (1623 -> 1664, 2.5% waste). `attend`/`attend_bhnd` always run the BHND
+    kernels and must NOT take this shortcut: an x8/x128 pad skips the
+    block-factorization search their blocks need.
     """
     from vjepa2_tpu.ops import flash_attention as fa
 
     from vjepa2_tpu.ops import flash_attention_dn as fdn
 
-    if fdn.dn_head_eligible(d) and not has_seg:
+    if dn_caller and fdn.dn_head_eligible(d) and not has_seg:
         from vjepa2_tpu.models.modules import NARROW_DN  # the A/B knob
 
         if NARROW_DN and fdn._mosaic_available():
