@@ -606,14 +606,25 @@ def bench_cem(args):
     encoder = MODEL_REGISTRY[args.model](
         img_size=(S, S), num_frames=2, tubelet_size=2, use_rope=True, dtype=jnp.bfloat16
     )
-    # depth/width scaled down: the full 24x1024 AC predictor inside a
-    # 10-iteration fori_loop over 100 rollout samples compiles for >10 min
-    # through the dev tunnel; this keeps the program shape representative.
-    predictor = vit_ac_predictor(
-        img_size=(S, S), patch_size=16, num_frames=16, tubelet_size=2,
-        embed_dim=encoder.embed_dim, predictor_embed_dim=256, depth=4,
-        num_heads=4, dtype=jnp.bfloat16,
-    )
+    if getattr(args, "cem_full", False):
+        # production world-model scale (`hub/backbones.py:vjepa2_ac_vit_giant`
+        # reference `src/hub/backbones.py:107-142`): 24x1024 AC predictor,
+        # flash + DN segment kernels on the frame-causal rollout
+        predictor = vit_ac_predictor(
+            img_size=(S, S), patch_size=16, num_frames=16, tubelet_size=2,
+            embed_dim=encoder.embed_dim, predictor_embed_dim=1024, depth=24,
+            num_heads=16, use_flash=True, dtype=jnp.bfloat16,
+        )
+    else:
+        # depth/width scaled down: the full 24x1024 AC predictor inside a
+        # 10-iteration fori_loop over 100 rollout samples compiles for
+        # >10 min through the dev tunnel; this keeps the program shape
+        # representative. --cem-full runs the production scale.
+        predictor = vit_ac_predictor(
+            img_size=(S, S), patch_size=16, num_frames=16, tubelet_size=2,
+            embed_dim=encoder.embed_dim, predictor_embed_dim=256, depth=4,
+            num_heads=4, dtype=jnp.bfloat16,
+        )
     frame = jnp.zeros((1, 2, S, S, 3), jnp.float32)
     enc_params = jax.jit(encoder.init)(jax.random.PRNGKey(0), frame)["params"]
     tpf = (S // 16) ** 2
@@ -650,12 +661,15 @@ def bench_cem(args):
     measured = measured_peak_tflops()
     mfu = total / dt / 1e12 / measured
     return {
-        "metric": f"CEM plan latency ({args.model} wm, 64 samples x 5 steps, rollout 2)",
+        "metric": (f"CEM plan latency ({args.model} wm, "
+                   f"pred{predictor.depth}x{predictor.predictor_embed_dim}, "
+                   "64 samples x 5 steps, rollout 2)"),
         "value": round(dt * 1e3, 2),
         "unit": "ms/plan",
         "vs_baseline": round(mfu, 4),
         "extra": {"measured_peak_tflops": round(measured, 1),
-                  "total_plan_flops_T": round(total / 1e12, 3)},
+                  "total_plan_flops_T": round(total / 1e12, 3),
+                  "predictor_scale": f"{predictor.depth}x{predictor.predictor_embed_dim}"},
     }
 
 
@@ -713,6 +727,10 @@ def main():
     ap.add_argument("--accum", type=int, default=1,
                     help="pretrain/cooldown: gradient-accumulation microbatches "
                          "per optimizer step (scan; one update)")
+    ap.add_argument("--cem-full", action="store_true",
+                    help="cem: plan with the FULL 24x1024 flash AC predictor "
+                         "(the production vjepa2_ac world-model scale) instead "
+                         "of the compile-friendly 4x256 probe shape")
     ap.add_argument("--no-extras", action="store_true",
                     help="headline: skip the compact ac/cem/e2e/cooldown "
                          "surface captures (fast iteration)")

@@ -120,3 +120,51 @@ def test_convert_release_full_size_vit_large(tmp_path):
 
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     assert n > 300e6  # full-size conversion, not a truncation
+
+
+@pytest.mark.slow
+def test_convert_release_parity_gate_positive(release_pt, tmp_path):
+    """--parity-check passes on a faithful checkpoint: the converted flax
+    encoder reproduces the live torch reference forward (VERDICT r4 next-#6,
+    the numerical-fidelity leg of the release gate that needs no dataset)."""
+    # note: release_pt is vit_tiny-scale but carries release-format keys;
+    # the parity check must build the SAME arch, so fabricate a vit_large
+    # at tiny clip shape instead (RoPE models are input-size agnostic).
+    ref_vit, _, _ = import_reference_models()
+    torch.manual_seed(1)
+    enc = ref_vit.vit_large(img_size=(32, 32), num_frames=4, tubelet_size=2,
+                            use_rope=True)
+    path = tmp_path / "vitl.pt"
+    torch.save({"encoder": {f"module.backbone.{k}": v
+                            for k, v in enc.state_dict().items()}}, path)
+    r = _run(["--pt", str(path), "--model", "vit_large",
+              "--out", str(tmp_path / "flax"), "--skip-eval",
+              "--parity-check"], timeout=1800)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    report = [json.loads(l) for l in r.stdout.splitlines()
+              if l.startswith("{")][-1]
+    assert report["forward_parity_ok"] is True
+    assert report["forward_parity_maxerr"] <= 5e-4
+
+
+@pytest.mark.slow
+def test_convert_release_parity_gate_negative_control(tmp_path):
+    """The parity gate FIRES on a real deviation: --inject-parity-fault
+    perturbs one converted tensor before the check (a symmetric .pt
+    corruption loads identically on both sides and passes by design), and
+    the tool must exit 1 with forward_parity_ok false."""
+    ref_vit, _, _ = import_reference_models()
+    torch.manual_seed(2)
+    enc = ref_vit.vit_large(img_size=(32, 32), num_frames=4, tubelet_size=2,
+                            use_rope=True)
+    path = tmp_path / "vitl.pt"
+    torch.save({"encoder": {f"module.backbone.{k}": v
+                            for k, v in enc.state_dict().items()}}, path)
+    r = _run(["--pt", str(path), "--model", "vit_large",
+              "--out", str(tmp_path / "flax"), "--skip-eval",
+              "--parity-check", "--inject-parity-fault"], timeout=1800)
+    assert r.returncode == 1, (r.stdout[-1000:], r.stderr[-2000:])
+    assert "PARITY GATE FAILED" in r.stderr
+    report = [json.loads(l) for l in r.stdout.splitlines()
+              if l.startswith("{")][-1]
+    assert report["forward_parity_ok"] is False

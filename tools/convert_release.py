@@ -61,6 +61,64 @@ MODEL_TO_EVAL_CONFIG = {
     "vit_giant_384": "configs/eval/vitg-384/ssv2.yaml",
 }
 
+# reference arch factory per release model (`src/hub/backbones.py:13-19`)
+REF_ARCH = {
+    "vit_large": "vit_large",
+    "vit_huge": "vit_huge",
+    "vit_giant": "vit_giant_xformers",
+    "vit_giant_384": "vit_giant_xformers",
+}
+
+# fp32 eager forward at tiny token counts; the converter golden tests pass
+# at 5e-4 abs (`tests/reference/test_reference_parity.py:70`)
+PARITY_FWD_ATOL = 5e-4
+
+
+def forward_parity_maxerr(model: str, enc_state_dict, enc_params) -> float:
+    """Max |flax(converted) - torch(reference)| on one fp32 forward.
+
+    The release models are RoPE (`src/hub/backbones.py:106`), so the SAME
+    weights drive a tiny 32px/4-frame clip — a 300M-param eager forward on
+    8 tokens is seconds on CPU, making this a true numerical-fidelity gate
+    for the conversion that needs no dataset and no TPU. Requires torch and
+    the reference tree (refimport); raises RuntimeError when unavailable.
+    """
+    import numpy as np
+
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "reference"))
+        import torch
+        from refimport import import_reference_models
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(f"--parity-check needs torch + the reference tree: {e}")
+
+    ref_vit, _, _ = import_reference_models()
+    t, s = 4, 32
+    m = getattr(ref_vit, REF_ARCH[model])(
+        img_size=(s, s), num_frames=t, tubelet_size=2, use_rope=True)
+    missing, unexpected = m.load_state_dict(
+        {k: torch.as_tensor(np.asarray(v)) if not isinstance(v, torch.Tensor) else v
+         for k, v in enc_state_dict.items()}, strict=False)
+    real_missing = [k for k in missing if "pos_embed" not in k]
+    if real_missing:
+        raise RuntimeError(f"reference load_state_dict missing keys: {real_missing[:5]}")
+    m.eval()
+
+    import jax.numpy as jnp
+
+    from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
+
+    name = "vit_giant_xformers" if REF_ARCH[model] == "vit_giant_xformers" else model
+    enc = MODEL_REGISTRY[name](img_size=(s, s), num_frames=t, tubelet_size=2,
+                               use_rope=True)
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, t, s, s, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+    out = np.asarray(enc.apply({"params": enc_params}, jnp.asarray(x)))
+    return float(np.max(np.abs(out - ref)))
+
 
 def sha256_file(path: str, chunk: int = 1 << 22) -> str:
     h = hashlib.sha256()
@@ -87,6 +145,16 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="dress-rehearsal mode: shrink the probe to CI size "
                     "(the converted checkpoint still drives it)")
+    ap.add_argument("--parity-check", action="store_true",
+                    help="after conversion, forward the SAME weights through "
+                    "the live torch reference and the converted flax encoder "
+                    "on one clip and FAIL (exit 1) above 5e-4 abs — the "
+                    "numerical-fidelity gate that needs no dataset")
+    ap.add_argument("--inject-parity-fault", action="store_true",
+                    help=argparse.SUPPRESS)  # negative-control: perturb one
+    # converted tensor before --parity-check so tests can prove the gate
+    # actually fires on a real deviation (a symmetric .pt corruption would
+    # pass — both sides load the same bytes)
     args = ap.parse_args(argv)
 
     if not os.path.exists(args.pt):
@@ -131,6 +199,27 @@ def main(argv=None):
         "published_top1": published,
         "parity_gate_pct": PARITY_GATE_PCT,
     }
+
+    if args.parity_check:
+        checked = enc_params
+        if args.inject_parity_fault:
+            import jax
+
+            leaves, tree = jax.tree_util.tree_flatten(checked)
+            leaves = list(leaves)
+            mid = len(leaves) // 2
+            leaves[mid] = leaves[mid] + 0.05
+            checked = jax.tree_util.tree_unflatten(tree, leaves)
+        err = forward_parity_maxerr(args.model, clean_prefixes(enc_sd), checked)
+        report["forward_parity_maxerr"] = err
+        report["forward_parity_ok"] = bool(err <= PARITY_FWD_ATOL)
+        print(f"forward parity vs live torch reference: max|d| = {err:.3e} "
+              f"(gate {PARITY_FWD_ATOL:g})")
+        if not report["forward_parity_ok"]:
+            print(json.dumps(report))
+            print("PARITY GATE FAILED: converted encoder does not reproduce "
+                  "the reference forward", file=sys.stderr)
+            return 1
 
     if args.skip_eval:
         report["note"] = "conversion only (--skip-eval); probe not run"
