@@ -21,6 +21,13 @@ x = jnp.ones((256, 256)); print('warm matmul ok:', float((x @ x)[0, 0]))" || exi
 # 1. cooldown attribution (VERDICT #1): trace one 64f@256 bs12 accum3 step
 timeout 3600 python -u scripts/trace_step.py --cooldown --steps 2
 
+# 1b. remat cost at the cooldown shape: same effective work per clip with
+#     and without recompute (64f bs2 fits without remat since flash, r3).
+#     If the non-remat per-clip cost is ~25% lower, the cooldown MFU gap is
+#     remat recompute and the config should shrink microbatches instead.
+timeout 2400 python bench.py --mode pretrain --model vit_large --frames 64 --batch 2 --steps 6 --remat
+timeout 2400 python bench.py --mode pretrain --model vit_large --frames 64 --batch 2 --steps 6
+
 # 2. LN numerics A/B on the encode headline (VERDICT #3)
 timeout 4500 python -u scripts/probe_ln_encode.py
 
@@ -36,5 +43,8 @@ timeout 2400 python bench.py --mode ac
 
 # 6. giant-scale CEM plan (VERDICT #10)
 timeout 3600 python bench.py --mode cem --model vit_giant_xformers --cem-full --steps 8
+
+# 7. H2D-serialization ceiling (VERDICT #8: measured number, not projection)
+timeout 1200 python -u scripts/probe_h2d_ceiling.py
 
 echo "TPU session5 complete"
