@@ -257,6 +257,7 @@ def bench_pretrain(args, n_runs: int = 3):
         use_rope=True,
         num_mask_tokens=2,
         use_activation_checkpointing=args.remat,
+        remat_policy=getattr(args, "remat_policy", None),
         use_flash=not args.no_flash,
         dtype=jnp.bfloat16,
     )
@@ -486,7 +487,8 @@ def bench_e2e(args):
                       "pred_embed_dim": 384, "pred_num_heads": 12,
                       "use_rope": True, "use_mask_tokens": True,
                       "use_flash": not args.no_flash,
-                      "use_activation_checkpointing": args.remat},
+                      "use_activation_checkpointing": args.remat,
+                      "remat_policy": getattr(args, "remat_policy", None)},
             "optimization": {"epochs": 1, "ipe": steps, "warmup": 0,
                              "lr": 1e-3, "start_lr": 2e-4, "final_lr": 1e-6,
                              "weight_decay": 0.04, "final_weight_decay": 0.4},
@@ -540,13 +542,15 @@ def bench_ac(args):
     encoder = MODEL_REGISTRY[args.model](
         img_size=(S, S), num_frames=2, tubelet_size=2, use_rope=True,
         use_flash=not args.no_flash,
-        use_activation_checkpointing=args.remat, dtype=jnp.bfloat16
+        use_activation_checkpointing=args.remat,
+        remat_policy=getattr(args, "remat_policy", None), dtype=jnp.bfloat16
     )
     predictor = vit_ac_predictor(
         img_size=(S, S), patch_size=16, num_frames=2 * T, tubelet_size=2,
         embed_dim=encoder.embed_dim, predictor_embed_dim=1024, depth=24,
         num_heads=16, use_flash=not args.no_flash,
-        use_activation_checkpointing=args.remat, dtype=jnp.bfloat16,
+        use_activation_checkpointing=args.remat,
+        remat_policy=getattr(args, "remat_policy", None), dtype=jnp.bfloat16,
     )
     hp = DroidHParams(total_steps=1000, warmup_steps=10, anneal_steps=100, auto_steps=2)
     params, enc_params, tpf = init_droid_params(encoder, predictor, 0, (B, T, S, S, 3))
@@ -717,6 +721,10 @@ def main():
                     help="default 10 (cooldown: 4 — each step is a 3-pass "
                          "accumulation at 64f)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-policy", default=None,
+                    choices=["full", "save_attn", "save_attn_qkv"],
+                    help="remat policy under --remat (models/modules.py:"
+                         "resolve_remat_policy); default: full recompute")
     ap.add_argument("--no-flash", action="store_true",
                     help="time the XLA attention path instead of the Pallas kernel")
     ap.add_argument("--workers", type=int, default=0,

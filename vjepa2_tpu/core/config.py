@@ -73,6 +73,11 @@ class ModelConfig:
     use_silu: bool = False
     wide_silu: bool = True
     use_activation_checkpointing: bool = False
+    # remat policy under activation checkpointing (models/modules.py:
+    # resolve_remat_policy): 'full' recomputes everything; 'save_attn'
+    # keeps the flash kernels' (out, lse) so the bwd never re-runs the
+    # attention forward — the dominant recompute at 64f cooldown shapes
+    remat_policy: Optional[str] = None
     use_extrinsics: bool = False  # droid
     max_num_frames: int = 512  # droid
     # TPU-native switches (beyond the reference's use_sdpa flag,

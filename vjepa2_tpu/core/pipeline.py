@@ -111,7 +111,8 @@ def stage_param_spec(leaf, name: str = "", tp: bool = False) -> P:
 # -------------------------------------------------------------- schedule
 
 def pipeline_blocks(block_apply, stacked, tokens, aux_mb, aux_bc, *,
-                    mesh: Mesh, n_microbatch: int, remat: bool = True):
+                    mesh: Mesh, n_microbatch: int, remat: bool = True,
+                    remat_policy: str | None = None):
     """Run the stacked block stack over ``tokens`` with the GPipe schedule.
 
     block_apply(block_params, tok, aux) -> tok, where ``aux`` merges the
@@ -131,7 +132,10 @@ def pipeline_blocks(block_apply, stacked, tokens, aux_mb, aux_bc, *,
         return tok
 
     if remat:
-        stage_fn = jax.checkpoint(stage_fn)
+        from vjepa2_tpu.models.modules import resolve_remat_policy
+
+        stage_fn = jax.checkpoint(
+            stage_fn, policy=resolve_remat_policy(remat_policy))
 
     if n_pipe == 1:
         # degenerate pipeline: one stage, no schedule, no collectives
@@ -194,7 +198,8 @@ def pipeline_blocks(block_apply, stacked, tokens, aux_mb, aux_bc, *,
 
 # -------------------------------------------------------------- encoder
 
-def make_pp_encode(encoder, mesh: Mesh, n_microbatch: int, remat: bool = True):
+def make_pp_encode(encoder, mesh: Mesh, n_microbatch: int, remat: bool = True,
+                   remat_policy: str | None = None):
     """Pipelined forward for a `VisionTransformer`.
 
     Returns ``encode(rest, stacked, clips, masks=None) -> tokens`` that is
@@ -247,6 +252,7 @@ def make_pp_encode(encoder, mesh: Mesh, n_microbatch: int, remat: bool = True):
         out = pipeline_blocks(
             block_apply, stacked, tokens, aux_mb, aux_bc,
             mesh=mesh, n_microbatch=n_microbatch, remat=remat,
+            remat_policy=remat_policy,
         )
         norm = LayerNorm(dtype=encoder.dtype)
         return norm.apply({"params": rest["norm"]}, out[:, : aux["n_real"]])
@@ -320,7 +326,8 @@ def shard_pp_state(state, mesh: Mesh):
 
 def make_pp_train_step(encoder, predictor, tx, hp, mesh: Mesh,
                        n_microbatch: int, mask_indices=None, norm_stats=None,
-                       remat: bool = True, grad_accum: int = 1):
+                       remat: bool = True, remat_policy: str | None = None,
+                       grad_accum: int = 1):
     """Pipeline-parallel variant of `train.pretrain.make_train_step`.
 
     Both encoder forwards (EMA target + per-mask context) run the GPipe
@@ -342,7 +349,8 @@ def make_pp_train_step(encoder, predictor, tx, hp, mesh: Mesh,
     from vjepa2_tpu.ops.masking import apply_mask
     from vjepa2_tpu.train.pretrain import _device_normalize, jepa_loss
 
-    encode = make_pp_encode(encoder, mesh, n_microbatch, remat=remat)
+    encode = make_pp_encode(encoder, mesh, n_microbatch, remat=remat,
+                            remat_policy=remat_policy)
 
     def loss_and_grads(params, target_params, clips, masks_enc, masks_pred):
         clips_n = _device_normalize(clips, encoder, norm_stats)

@@ -45,6 +45,7 @@ class VisionTransformerPredictorAC(nn.Module):
     use_rope: bool = True
     use_flash: bool = False
     use_activation_checkpointing: bool = False
+    remat_policy: Optional[str] = None  # see `modules.resolve_remat_policy`
     action_embed_dim: int = 7
     use_extrinsics: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -112,8 +113,14 @@ class VisionTransformerPredictorAC(nn.Module):
         # T/gh/gw/cond drive Python control flow inside ACAttention (mask
         # construction, conditioning-token splits) — keep them static under
         # remat (indices count self as 0)
-        block_cls = (nn.remat(ACBlock, static_argnums=(2, 3, 4, 5))
-                     if self.use_activation_checkpointing else ACBlock)
+        if self.use_activation_checkpointing:
+            from vjepa2_tpu.models.modules import resolve_remat_policy
+
+            block_cls = nn.remat(
+                ACBlock, static_argnums=(2, 3, 4, 5),
+                policy=resolve_remat_policy(self.remat_policy))
+        else:
+            block_cls = ACBlock
         for i in range(self.depth):
             tokens = block_cls(
                 dim=P,

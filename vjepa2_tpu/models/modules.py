@@ -98,6 +98,32 @@ def set_ln_fusions(csv: str) -> None:
     FUSE_LN_MLP = "mlp" in sel
 
 
+def resolve_remat_policy(name):
+    """Map a config-level remat policy name to a `jax.checkpoint` policy.
+
+    - None / 'full': plain full remat (recompute everything; the r1-r4
+      behavior).
+    - 'save_attn': save the flash kernels' (out, lse) pairs
+      (`checkpoint_name` tags inside `ops/flash_attention*.py`) — the bwd
+      recompute skips the attention fwd kernel entirely, which dominates
+      the block at long-clip shapes (N=8192: attention is ~32 of 56
+      FLOP-units vs qkv 6 / proj 2 / mlp 16). Costs one extra
+      [B, N, C]-sized bf16 + [B, H, N] fp32 save per layer.
+    - 'save_attn_qkv': additionally saves the q/k/v projections
+      ('flash_qkv' tags) so the attention branch recomputes nothing.
+    """
+    if name in (None, "full"):
+        return None
+    cp = jax.checkpoint_policies
+    if name == "save_attn":
+        return cp.save_only_these_names("flash_out", "flash_lse")
+    if name == "save_attn_qkv":
+        return cp.save_only_these_names("flash_out", "flash_lse", "flash_qkv")
+    raise ValueError(
+        f"unknown remat_policy {name!r}: expected one of "
+        "None/'full', 'save_attn', 'save_attn_qkv'")
+
+
 # Diagnostic knob (scripts/probe_step_buckets.py, scripts/probe_ln_encode.py):
 # False runs LayerNorm in the compute dtype to measure what the fp32
 # upcast+reduce costs at step level. Production keeps True — the reference's

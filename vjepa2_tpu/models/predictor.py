@@ -48,6 +48,7 @@ class VisionTransformerPredictor(nn.Module):
     use_flash: bool = False
     cp_attend: Optional[object] = None
     use_activation_checkpointing: bool = False
+    remat_policy: Optional[str] = None  # see `modules.resolve_remat_policy`
     return_all_tokens: bool = False
     chop_last_n_tokens: int = 0
     dtype: jnp.dtype = jnp.float32
@@ -168,7 +169,13 @@ class VisionTransformerPredictor(nn.Module):
                 )
                 head_perm = tuple(int(i) for i in perm)
                 rope_cache = None
-        block_cls = nn.remat(Block) if self.use_activation_checkpointing else Block
+        if self.use_activation_checkpointing:
+            from vjepa2_tpu.models.modules import resolve_remat_policy
+
+            block_cls = nn.remat(
+                Block, policy=resolve_remat_policy(self.remat_policy))
+        else:
+            block_cls = Block
         for i in range(self.depth):
             tokens = block_cls(
                 dim=P,

@@ -49,6 +49,11 @@ class VisionTransformer(nn.Module):
     wide_silu: bool = True
     use_rope: bool = False
     use_activation_checkpointing: bool = False
+    # remat policy name (`modules.resolve_remat_policy`): None/'full' =
+    # recompute everything; 'save_attn'[-'_qkv'] = keep the flash kernels'
+    # (out, lse) [+ q/k/v] so the bwd never re-runs the attention fwd —
+    # the dominant recompute at long-clip shapes (VERDICT r5 #1)
+    remat_policy: Optional[str] = None
     use_flash: bool = False  # Pallas flash attention (fwd + custom VJP)
     cp_attend: Optional[object] = None  # ring-attention context parallelism
     out_layers: Optional[Sequence[int]] = None
@@ -177,7 +182,10 @@ class VisionTransformer(nn.Module):
         if self.use_activation_checkpointing:
             # h_patches/w_patches ride through as weak-typed scalars; all uses
             # are arithmetic, so tracing them is safe.
-            block_cls = nn.remat(Block)
+            from vjepa2_tpu.models.modules import resolve_remat_policy
+
+            block_cls = nn.remat(
+                Block, policy=resolve_remat_policy(self.remat_policy))
 
         rope_cache = None
         rope_expanded = head_perm = None

@@ -846,6 +846,76 @@ def _core_bwd(causal, scale, block_q, block_k, bwd_block_q, bwd_block_k,
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Saveable-residual variant (policy remat)
+# ---------------------------------------------------------------------------
+# Under block-level `jax.checkpoint` the custom-vjp residuals above are
+# OPAQUE: a names-based remat policy cannot save (out, lse), so the bwd
+# pass re-runs the forward kernel just to regenerate them — the single
+# most expensive piece of the recompute at cooldown shapes (N=8192 the
+# score matmuls dominate the block). This variant splits the call:
+#
+#   out, lse = <raw fwd kernel on stop_gradient inputs>   # plain values
+#   out, lse = checkpoint_name(..., 'flash_out'/'flash_lse')
+#   out      = _flash_grad_attach(q, k, v, ..., out, lse) # identity fwd
+#
+# `_flash_grad_attach`'s residuals are its own INPUTS, so with policy
+# `save_only_these_names('flash_out', 'flash_lse')` the bwd needs only
+# (q, k, v) recomputed (one LN + qkv projection) and the fwd kernel is
+# DCE'd out of the recompute jaxpr entirely. Verified structurally by
+# jaxpr kernel counts (`tests/ops/test_remat_policy.py`). With no remat
+# (or full remat) the structure is cost-neutral: same single fwd call,
+# same residual set, identical bwd math.
+
+SAVEABLE_RESIDUALS = True
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18)
+)
+def _flash_grad_attach(
+    q, k, v, seg, qcos, qsin, kcos, ksin, out, lse,
+    causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, block_h,
+    interpret, kv_valid,
+):
+    return out
+
+
+def _attach_fwd(q, k, v, seg, qcos, qsin, kcos, ksin, out, lse, causal,
+                scale, block_q, block_k, bwd_block_q, bwd_block_k, block_h,
+                interpret, kv_valid):
+    return out, (q, k, v, seg, qcos, qsin, kcos, ksin, out, lse)
+
+
+def _attach_bwd(causal, scale, block_q, block_k, bwd_block_q, bwd_block_k,
+                block_h, interpret, kv_valid, res, g):
+    q, k, v, seg, qcos, qsin, kcos, ksin, out, lse = res
+    dq, dk, dv = _flash_bwd_bhnd(
+        q, k, v, seg, qcos, qsin, kcos, ksin, out, lse, g,
+        causal=causal, scale=scale, block_q=bwd_block_q, block_k=bwd_block_k,
+        block_h=block_h, interpret=interpret, kv_valid=kv_valid,
+    )
+
+    def zeros(x):
+        if x is None:
+            return None
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    # out/lse arrive via stop_gradient'd kernel outputs — their zero
+    # cotangents are DCE'd by XLA
+    return (dq, dk, dv, zeros(seg), zeros(qcos), zeros(qsin), zeros(kcos),
+            zeros(ksin), jnp.zeros_like(out), jnp.zeros_like(lse))
+
+
+_flash_grad_attach.defvjp(_attach_fwd, _attach_bwd)
+
+
+def _sg(x):
+    return None if x is None else jax.lax.stop_gradient(x)
+
+
 def _splithalf_layout(d: int, rot: int):
     """Head-dim permutation (interleaved-pair -> split-half) for a head of
     width ``d`` whose first ``rot`` features are rotated.
@@ -1045,6 +1115,28 @@ def flash_attention_bhnd(
         # knob stays for sweeps on other topologies.
         block_h = 1
     assert H % block_h == 0, (H, block_h)
+    if SAVEABLE_RESIDUALS:
+        from jax.ad_checkpoint import checkpoint_name
+
+        seg = segment_ids
+        if seg is not None and seg.ndim == 1:
+            seg = seg[None]
+        qp = checkpoint_name(qp, "flash_qkv")
+        kp = checkpoint_name(kp, "flash_qkv")
+        v = checkpoint_name(v, "flash_qkv")
+        outv, lsev = _flash_fwd_bhnd(
+            _sg(qp), _sg(kp), _sg(v), _sg(seg), _sg(qcos), _sg(qsin),
+            _sg(kcos), _sg(ksin), causal=causal, scale=scale,
+            block_q=block_q, block_k=block_k, block_h=block_h,
+            interpret=interpret, kv_valid=kv_valid_len,
+        )
+        outv = checkpoint_name(outv, "flash_out")
+        lsev = checkpoint_name(lsev, "flash_lse")
+        return _flash_grad_attach(
+            qp, kp, v, seg, qcos, qsin, kcos, ksin, outv, lsev,
+            causal, scale, block_q, block_k, bwd_block_q, bwd_block_k,
+            block_h, interpret, kv_valid_len,
+        )
     out = _flash_attention_core(
         qp, kp, v, segment_ids, qcos, qsin, kcos, ksin,
         causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, block_h,

@@ -529,6 +529,47 @@ def _core_bwd_dn(scale, block_q, block_k, block_h, interpret, kv_valid,
 _flash_core_dn.defvjp(_core_fwd_dn, _core_bwd_dn)
 
 
+# Saveable-residual variant (policy remat) — same structure as
+# `flash_attention._flash_grad_attach`: the raw fwd kernel runs on
+# stop_gradient inputs, (out, lse) are `checkpoint_name`-tagged so a
+# `save_only_these_names('flash_out', 'flash_lse')` remat policy keeps
+# them, and gradients attach through an identity-forward custom vjp whose
+# residuals are plain jaxpr values. The knob is shared:
+# `flash_attention.SAVEABLE_RESIDUALS`.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16))
+def _flash_grad_attach_dn(q, k, v, segq, segk, qcos, qsin, kcos, ksin, out,
+                          lse, scale, block_q, block_k, block_h, interpret,
+                          kv_valid):
+    return out
+
+
+def _attach_fwd_dn(q, k, v, segq, segk, qcos, qsin, kcos, ksin, out, lse,
+                   scale, block_q, block_k, block_h, interpret, kv_valid):
+    return out, (q, k, v, segq, segk, qcos, qsin, kcos, ksin, out, lse)
+
+
+def _attach_bwd_dn(scale, block_q, block_k, block_h, interpret, kv_valid,
+                   res, g):
+    q, k, v, segq, segk, qcos, qsin, kcos, ksin, out, lse = res
+    dq, dk, dv = _flash_bwd_bhdn(
+        q, k, v, segq, segk, qcos, qsin, kcos, ksin, out, lse, g,
+        scale=scale, block_q=block_q, block_k=block_k, block_h=block_h,
+        interpret=interpret, kv_valid=kv_valid,
+    )
+
+    def zeros(x):
+        return None if x is None else jnp.zeros_like(x)
+
+    return (dq, dk, dv, zeros(segq), zeros(segk),
+            zeros(qcos), zeros(qsin), zeros(kcos), zeros(ksin),
+            jnp.zeros_like(out), jnp.zeros_like(lse))
+
+
+_flash_grad_attach_dn.defvjp(_attach_fwd_dn, _attach_bwd_dn)
+
+
 def flash_attention_bhdn(
     q, k, v,
     scale: float | None = None,
@@ -592,6 +633,26 @@ def flash_attention_bhdn(
             f"no legal DN block plan for N={N}, M={M} — gate callers on "
             f"supports_dn()")
         bq, bk = plan
+    from vjepa2_tpu.ops import flash_attention as fa
+
+    if fa.SAVEABLE_RESIDUALS:
+        from jax.ad_checkpoint import checkpoint_name
+
+        sg = fa._sg
+        q = checkpoint_name(q, "flash_qkv")
+        k = checkpoint_name(k, "flash_qkv")
+        v = checkpoint_name(v, "flash_qkv")
+        outv, lsev = _flash_fwd_bhdn(
+            sg(q), sg(k), sg(v), sg(segq), sg(segk), sg(qcos), sg(qsin),
+            sg(kcos), sg(ksin), scale=scale, block_q=bq, block_k=bk,
+            block_h=block_h or 1, interpret=interpret, kv_valid=kv_valid_len,
+        )
+        outv = checkpoint_name(outv, "flash_out")
+        lsev = checkpoint_name(lsev, "flash_lse")
+        return _flash_grad_attach_dn(
+            q, k, v, segq, segk, qcos, qsin, kcos, ksin, outv, lsev,
+            scale, bq, bk, block_h or 1, interpret, kv_valid_len,
+        )
     return _flash_core_dn(q, k, v, segq, segk, qcos, qsin, kcos, ksin,
                           scale, bq, bk, block_h or 1, interpret,
                           kv_valid_len)

@@ -75,6 +75,9 @@ class DroidTrainer:
             tubelet_size=c.data.tubelet_size,
             uniform_power=c.model.uniform_power,
             use_rope=c.model.use_rope,
+            use_flash=c.model.use_flash,
+            use_activation_checkpointing=c.model.use_activation_checkpointing,
+            remat_policy=c.model.remat_policy,
             dtype=self.dtype,
         )
         self.predictor = vit_ac_predictor(
@@ -87,6 +90,9 @@ class DroidTrainer:
             depth=c.model.pred_depth,
             num_heads=c.model.pred_num_heads or 16,
             use_extrinsics=c.model.use_extrinsics,
+            use_flash=c.model.use_flash,
+            use_activation_checkpointing=c.model.use_activation_checkpointing,
+            remat_policy=c.model.remat_policy,
             dtype=self.dtype,
         )
         o = c.optimization

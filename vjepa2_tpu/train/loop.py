@@ -145,6 +145,7 @@ class Pretrainer:
             num_mask_tokens=len(c.mask) * len(self.fpcs),
             zero_init_mask_tokens=c.model.zero_init_mask_tokens,
             use_activation_checkpointing=c.model.use_activation_checkpointing,
+            remat_policy=c.model.remat_policy,
             use_flash=c.model.use_flash,
             cp_attend=cp_attend,
             dtype=self.dtype,
@@ -330,6 +331,7 @@ class Pretrainer:
                     n_microbatch=self.cfg.mesh.pipe_microbatches,
                     mask_indices=mask_indices, norm_stats=self._norm_stats(),
                     remat=self.cfg.model.use_activation_checkpointing,
+                    remat_policy=self.cfg.model.remat_policy,
                     grad_accum=ga,
                 )
             else:
@@ -361,6 +363,7 @@ class Pretrainer:
                 pp_mesh=self.mesh,
                 pp_microbatches=self.cfg.mesh.pipe_microbatches,
                 pp_remat=self.cfg.model.use_activation_checkpointing,
+                pp_remat_policy=self.cfg.model.remat_policy,
             ) if self.pipeline else {}
             self._step_fns["multifpc"] = jit_train_step(
                 make_multifpc_train_step(

@@ -70,6 +70,7 @@ def build_models(
     num_mask_tokens: int = 2,
     zero_init_mask_tokens: bool = True,
     use_activation_checkpointing: bool = False,
+    remat_policy: str | None = None,
     use_flash: bool = False,
     cp_attend=None,
     dtype=jnp.bfloat16,
@@ -91,6 +92,7 @@ def build_models(
         use_silu=use_silu,
         wide_silu=wide_silu,
         use_activation_checkpointing=use_activation_checkpointing,
+        remat_policy=remat_policy,
         use_flash=use_flash,
         cp_attend=cp_attend,
         dtype=dtype,
@@ -112,6 +114,7 @@ def build_models(
         num_mask_tokens=num_mask_tokens,
         zero_init_mask_tokens=zero_init_mask_tokens,
         use_activation_checkpointing=use_activation_checkpointing,
+        remat_policy=remat_policy,
         use_flash=use_flash,
         cp_attend=cp_attend,
         dtype=dtype,
@@ -263,7 +266,8 @@ def make_train_step(encoder, predictor, tx, hp: PretrainHParams, mask_indices: S
 def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
                              num_mask_cfgs: int, norm_stats=None,
                              pp_mesh=None, pp_microbatches: int = 1,
-                             pp_remat: bool = True):
+                             pp_remat: bool = True,
+                             pp_remat_policy: str | None = None):
     """Reference within-step multi-fpc semantics (`app/vjepa/train.py:425-435`,
     `src/masks/multiseq_multiblock3d.py:63-74`): ONE optimizer step averages
     the JEPA loss over every (fpc-bucket x mask-config) pair and applies ONE
@@ -286,7 +290,8 @@ def make_multifpc_train_step(encoder, predictor, tx, hp: PretrainHParams,
         from vjepa2_tpu.core.pipeline import make_pp_encode
 
         encode_pp = make_pp_encode(encoder, pp_mesh, pp_microbatches,
-                                   remat=pp_remat)
+                                   remat=pp_remat,
+                                   remat_policy=pp_remat_policy)
 
         def encode(enc_params, clips, masks=None):
             return encode_pp(enc_params["encoder"],
