@@ -399,3 +399,11 @@ def test_pp_wd_mask_matches_reference_rule():
     assert m["encoder"]["norm"]["scale"] is False
     assert m["encoder_blocks"]["norm1"]["bias"] is False
     assert m["encoder_blocks"]["attn"]["qkv"]["kernel"] is True
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

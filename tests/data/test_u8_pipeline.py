@@ -193,3 +193,11 @@ def test_u8_survives_worker_ipc(tmp_path):
     clips = np.asarray(batches[0][0][0])
     assert clips.dtype == np.uint8
     assert clips.shape == (2, T, S, S, 3)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -160,3 +160,11 @@ def test_anticipation_probe_grid_max_beats_first_entry(tmp_path):
     out2 = ev2.evaluate(loader, k=1)
     assert out2["verb"]["recall"] == out["verb"]["recall"]
     assert out2["per_probe"] == out["per_probe"]
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

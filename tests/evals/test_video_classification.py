@@ -78,3 +78,11 @@ def test_temporal_pos_embed_path():
     # clip 0 unchanged, clip 1 differs
     np.testing.assert_allclose(np.asarray(f1[:, :n_per_clip]), np.asarray(f2[:, :n_per_clip]), atol=1e-6)
     assert np.abs(np.asarray(f1[:, n_per_clip:]) - np.asarray(f2[:, n_per_clip:])).max() > 1e-3
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

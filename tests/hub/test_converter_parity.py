@@ -246,3 +246,11 @@ def test_converter_roundtrip(torch_encoder):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -154,3 +154,11 @@ def test_fpc_bucket_frequencies_match_sampling_mass():
     frac16 = np.mean(np.asarray(draws) == 16)
     sigma = math.sqrt(0.75 * 0.25 / n_batches)
     assert abs(frac16 - 0.75) <= 4 * sigma, (frac16, sigma)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -72,3 +72,11 @@ def test_fusion_gate_skips_cp_and_masked(fuse_flag):
     out_flag_off = m.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_flag_on),
                                np.asarray(out_flag_off), atol=0, rtol=0)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -69,3 +69,11 @@ def test_small_unaligned_stays_on_xla():
     with pltpu.force_tpu_interpret_mode():
         got = attend(q, k, v, use_flash=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -133,3 +133,11 @@ def test_ac_block_wiring_parity():
             == jax.tree_util.tree_structure(params_fused))
     np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_fused),
                                atol=2e-5, rtol=2e-5)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

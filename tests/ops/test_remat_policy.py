@@ -177,3 +177,11 @@ def test_model_level_policy_wiring():
     for x1, x2 in zip(a, b):
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
                                    atol=1e-6, rtol=1e-6)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

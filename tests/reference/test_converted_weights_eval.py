@@ -60,3 +60,11 @@ def test_probe_eval_on_converted_reference_weights():
     # class-coded synthetic data is linearly separable from frozen features:
     # the probe must do (much) better than chance
     assert out["top1"] > 0.5, out
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -182,3 +182,11 @@ def test_attentive_classifier_forward_parity():
         ref = m(torch.from_numpy(x)).numpy()
     out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-3)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -99,3 +99,11 @@ def test_droid_grad_accum_matches_fullbatch():
     for x, y in zip(jax.tree_util.tree_leaves(new1.params["predictor"]),
                     jax.tree_util.tree_leaves(new2.params["predictor"])):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=3e-5, rtol=0)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -137,3 +137,11 @@ def test_droid_trainer_real_loader(droid_manifest, tmp_path):
     assert tr.frames_per_clip == 4
     out = tr.run(epochs=1)
     assert np.isfinite(out["loss"])
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -79,3 +79,11 @@ def test_droid_step_u8_matches_float():
     _, m_f = step_f(fresh(), jnp.asarray(f32, jnp.float32), actions, states)
     np.testing.assert_allclose(float(m_u8["loss"]), float(m_f["loss"]),
                                rtol=1e-5, atol=1e-6)
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -82,3 +82,11 @@ def test_multi_fpc_bucketed_steps(cfg):
     step4 = t._step_fn(4)
     step8 = t._step_fn(8)
     assert step4 is not step8
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

@@ -165,3 +165,11 @@ def test_pretrainer_multifpc_within_step(tmp_path):
     assert np.isfinite(out["loss"])
     # ipe=6 raw batches alternating 2 fpcs -> 3 grouped steps
     assert out["step"] == 3
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

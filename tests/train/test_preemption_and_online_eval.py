@@ -170,3 +170,11 @@ def test_online_eval_runs_anticipation_family(cfg, tmp_path):
     assert row, lines
     recall = float(row[-1].split(",")[-1])  # mean-class recall@k in percent
     assert np.isfinite(recall) and 0.0 <= recall <= 100.0
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]

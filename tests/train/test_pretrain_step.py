@@ -99,3 +99,11 @@ def test_ema_target_moves():
     np.testing.assert_allclose(
         np.asarray(leaf_tgt), 0.5 * np.asarray(leaf_old) + 0.5 * np.asarray(leaf_new), atol=1e-6
     )
+
+
+# Tier marker (VERDICT r5 #7): heavy on a 1-core CI host -- the quick
+# tier is `pytest -m "not slow"`; CI runs the slow tier separately.
+import pytest as _pytest  # noqa: E402
+pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
+if not isinstance(pytestmark, list):  # pragma: no cover
+    pytestmark = [pytestmark, _pytest.mark.slow]
