@@ -104,3 +104,36 @@ import pytest as _pytest  # noqa: E402
 pytestmark = (globals().get("pytestmark") or []) + [_pytest.mark.slow]
 if not isinstance(pytestmark, list):  # pragma: no cover
     pytestmark = [pytestmark, _pytest.mark.slow]
+
+
+def test_ring_attach_structure_parity(mesh):
+    """Saveable-residual ring structure == fused-custom-vjp ring grads, and
+    policy remat around the ring changes scheduling, not math."""
+    import vjepa2_tpu.ops.flash_attention as fa
+    from vjepa2_tpu.models.modules import resolve_remat_policy
+
+    q, k, v = _qkv(N=32, seed=8)
+    w = jnp.asarray(np.random.RandomState(9).randn(*q.shape), jnp.float32)
+    apply = seq_sharded_attention(mesh, "model")
+
+    def loss(a, b, c):
+        return jnp.sum(apply(a, b, c) * w)
+
+    old = fa.SAVEABLE_RESIDUALS
+    try:
+        fa.SAVEABLE_RESIDUALS = False
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        fa.SAVEABLE_RESIDUALS = True
+        g_new = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_new, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6,
+                                       err_msg=f"d{name}")
+        ck = jax.checkpoint(loss, policy=resolve_remat_policy("save_attn"))
+        g_ck = jax.grad(ck, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_ck, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"remat d{name}")
+    finally:
+        fa.SAVEABLE_RESIDUALS = old

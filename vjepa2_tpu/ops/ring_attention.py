@@ -208,6 +208,39 @@ def _ring_core_bwd(axis_name, axis_size, scale, use_kernel, res, g):
 _ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
 
 
+# Saveable-residual variant (policy remat) — same structure as
+# `flash_attention._flash_grad_attach`. Under block-level remat the ring's
+# custom-vjp residuals are opaque, so the bwd would re-run the ENTIRE ring
+# forward per layer (axis_size kernel hops + 3*(axis_size-1) ppermutes)
+# just to regenerate (out, lse). Splitting the call makes them
+# checkpoint_name-tagged jaxpr values ('flash_out'/'flash_lse' — shared
+# with the single-device kernels so one `remat_policy='save_attn'` covers
+# both paths); the recompute then rebuilds only q/k/v (local qkv
+# projection, no collectives).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _ring_grad_attach(axis_name, axis_size, scale, use_kernel,
+                      q, k, v, seg_q, seg_kv, out, lse):
+    return out
+
+
+def _ring_attach_fwd(axis_name, axis_size, scale, use_kernel,
+                     q, k, v, seg_q, seg_kv, out, lse):
+    return out, (q, k, v, seg_q, seg_kv, out, lse)
+
+
+def _ring_attach_bwd(axis_name, axis_size, scale, use_kernel, res, g):
+    *_, out, lse = res
+    dq, dk, dv, dsq, dskv = _ring_core_bwd(
+        axis_name, axis_size, scale, use_kernel, res[:7], g)
+    return (dq, dk, dv, dsq, dskv,
+            jnp.zeros_like(out), jnp.zeros_like(lse))
+
+
+_ring_grad_attach.defvjp(_ring_attach_fwd, _ring_attach_bwd)
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -232,8 +265,25 @@ def ring_attention(
     seg_kv = None if segment_ids_kv is None else segment_ids_kv.astype(jnp.int32)
     if (seg_q is None) != (seg_kv is None):
         raise ValueError("segment_ids_q and segment_ids_kv must both be set")
-    out = _ring_core(axis_name, axis_size, scale, use_kernel, qh, kh, vh,
-                     seg_q, seg_kv)
+    from vjepa2_tpu.ops import flash_attention as fa
+
+    if fa.SAVEABLE_RESIDUALS:
+        from jax.ad_checkpoint import checkpoint_name
+
+        sg = fa._sg
+        qh = checkpoint_name(qh, "flash_qkv")
+        kh = checkpoint_name(kh, "flash_qkv")
+        vh = checkpoint_name(vh, "flash_qkv")
+        outv, lsev = _ring_fwd_impl(axis_name, axis_size, scale, use_kernel,
+                                    sg(qh), sg(kh), sg(vh), sg(seg_q),
+                                    sg(seg_kv))
+        outv = checkpoint_name(outv, "flash_out")
+        lsev = checkpoint_name(lsev, "flash_lse")
+        out = _ring_grad_attach(axis_name, axis_size, scale, use_kernel,
+                                qh, kh, vh, seg_q, seg_kv, outv, lsev)
+    else:
+        out = _ring_core(axis_name, axis_size, scale, use_kernel, qh, kh, vh,
+                         seg_q, seg_kv)
     return out.transpose(0, 2, 1, 3)
 
 
