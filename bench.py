@@ -409,14 +409,16 @@ def bench_headline(args):
         # defaults in main(); steps kept small (compact capture, the
         # headline pair above carries the statistical weight)
         ("ac", bench_ac, dict(model="vit_large", batch=8, frames=8,
-                              size=256, steps=4, remat=True)),
+                              size=256, steps=4, remat=True,
+                              remat_policy="save_attn")),
         ("cem", bench_cem, dict(model="vit_large", size=256, steps=5)),
         ("e2e_u8", bench_e2e, dict(model="vit_large", batch=8, frames=16,
                                    size=256, steps=12, u8=True, workers=0,
                                    remat=False)),
         ("cooldown", bench_pretrain, dict(model="vit_large", batch=12,
                                           frames=64, size=256, steps=3,
-                                          accum=3, remat=True)),
+                                          accum=3, remat=True,
+                                          remat_policy="save_attn_qkv")),
     ]
     for key, fn, overrides in surface:
         sub = argparse.Namespace(**vars(args))
@@ -776,6 +778,12 @@ def main():
         if args.frames is None:
             args.frames = 64
         args.remat = True
+        if args.remat_policy is None:
+            # r5s2 one-process A/B (scripts/probe_remat_cooldown.py): full
+            # 6120.9 / save_attn 5029.9 / save_attn_qkv 4983.1 ms/step —
+            # saving the flash (out, lse) + q/k/v kills the fwd-kernel
+            # recompute (-18.6%) and fits HBM at bs4 microbatches
+            args.remat_policy = "save_attn_qkv"
         # only fill knobs the user left unset (--batch default is None so an
         # explicit --batch 8 is distinguishable from the global default)
         if args.batch is None:
@@ -794,6 +802,10 @@ def main():
         # teacher-forcing + AR-rollout backward without remat holds ~24
         # predictor layers of [B, 2k, 1024] activations -> 20 GB at bs8
         args.remat = True
+        if args.remat_policy is None:
+            # r5s2: 695 -> 629.1 ms/step measured (agreement 0.998) — the
+            # bwd stops re-running the DN flash fwd kernels under remat
+            args.remat_policy = "save_attn"
 
     from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
 
