@@ -724,7 +724,8 @@ def main():
                          "accumulation at 64f)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default=None,
-                    choices=["full", "save_attn", "save_attn_qkv"],
+                    choices=["full", "save_attn", "save_attn_qkv",
+                             "save_attn_qkv_h"],
                     help="remat policy under --remat (models/modules.py:"
                          "resolve_remat_policy); default: full recompute")
     ap.add_argument("--no-flash", action="store_true",

@@ -5,7 +5,11 @@ step (64f@256 bs12 accum3 remat) to remat RECOMPUTE of the flash forward
 kernels (72 of the 504 fwd calls per step). `remat_policy='save_attn'`
 keeps the kernels' (out, lse) via checkpoint_name tags so the recompute
 drops them; 'save_attn_qkv' additionally keeps q/k/v (skips the qkv
-projection recompute, ~+67 MB/layer-call at bs4 — may not fit).
+projection recompute, ~+67 MB/layer-call at bs4 — may not fit);
+'save_attn_qkv_h' additionally keeps the MLP fc1 pre-activation ('mlp_h',
+width 4C) so the only recompute GEMM left is the attn out-projection.
+Measured r5s2 (3 rounds, spread <0.1%): full 6120.9 / save_attn 5029.9 /
+save_attn_qkv 4983.1 ms/step.
 
 Interleaved one-process methodology (v4): all variants compiled in one
 process, the SAME donated state chained through every step, fresh masks

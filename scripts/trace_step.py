@@ -68,6 +68,12 @@ def main():
                     help="trace the 64f@256 bs12 accum3 remat cooldown step "
                          "(VERDICT r5: attribute the 29%% MFU)")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--remat-policy", default=None,
+                    help="remat policy for --cooldown (models.modules."
+                         "resolve_remat_policy); default: the shipped "
+                         "cooldown default is save_attn_qkv, but this "
+                         "script traces 'full' unless told otherwise so "
+                         "historical traces stay comparable")
     args = ap.parse_args()
     import vjepa2_tpu.models.modules as _M
     try:
@@ -81,13 +87,15 @@ def main():
         B, T, S = 12, 64, 256
         accum, remat = 3, True
         trace_dir = "/tmp/jax_trace_cooldown"
+        if args.remat_policy:
+            trace_dir += "_" + args.remat_policy
     os.system(f"rm -rf {trace_dir}")
 
     encoder, predictor = build_models(
         model_name="vit_large", crop_size=S, num_frames=T,
         pred_depth=12, pred_embed_dim=384, pred_num_heads=12,
         use_rope=True, num_mask_tokens=2, use_flash=True, dtype=jnp.bfloat16,
-        use_activation_checkpointing=remat,
+        use_activation_checkpointing=remat, remat_policy=args.remat_policy,
     )
     b = B // accum
 

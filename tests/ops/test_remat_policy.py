@@ -137,7 +137,7 @@ def test_policy_remat_grad_parity():
         return (out.astype(jnp.float32) ** 2).sum()
 
     ref = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
-    for policy in ("full", "save_attn", "save_attn_qkv"):
+    for policy in ("full", "save_attn", "save_attn_qkv", "save_attn_qkv_h"):
         ck = jax.checkpoint(f, policy=resolve_remat_policy(policy))
         got = jax.grad(ck, argnums=(0, 1, 2))(q, k, v)
         for r, g in zip(ref, got):
@@ -150,8 +150,69 @@ def test_resolve_remat_policy_names():
     assert resolve_remat_policy("full") is None
     assert callable(resolve_remat_policy("save_attn"))
     assert callable(resolve_remat_policy("save_attn_qkv"))
+    assert callable(resolve_remat_policy("save_attn_qkv_h"))
     with pytest.raises(ValueError):
         resolve_remat_policy("bogus")
+
+
+def _count_dots(jaxpr):
+    eqns = []
+    _collect_eqns(jaxpr.jaxpr, eqns)
+    return sum(1 for e in eqns if e.primitive.name == "dot_general")
+
+
+def test_policy_h_skips_fc1_recompute():
+    """'save_attn_qkv_h' keeps the fc1 pre-activation ('mlp_h' tag inside
+    models.modules.Mlp), so the remat bwd of an MLP needs NO recompute
+    GEMMs: grad-of-checkpoint dot count == the un-rematted grad's, while
+    'save_attn_qkv' (which saves nothing of the MLP) pays fc1 again."""
+    from vjepa2_tpu.models.modules import Mlp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    mlp = Mlp(hidden_dim=64)
+    params = mlp.init(jax.random.PRNGKey(0), x)
+
+    def dots(policy):
+        # Checkpoint the MLP apply alone (loss outside) to mirror
+        # production block-level remat, where the block output is a
+        # boundary value and is never recomputed.
+        apply = mlp.apply
+        if policy != "none":
+            apply = jax.checkpoint(apply, policy=resolve_remat_policy(policy))
+
+        def loss(p, x):
+            return (apply(p, x) ** 2).sum()
+
+        g = jax.grad(loss, argnums=(0, 1))
+        return _count_dots(jax.make_jaxpr(g)(params, x))
+
+    n_noremat = dots("none")
+    n_qkv = dots("save_attn_qkv")
+    n_h = dots("save_attn_qkv_h")
+    assert n_h == n_noremat, (n_h, n_noremat)
+    assert n_qkv > n_h, (n_qkv, n_h)
+
+
+def test_policy_h_grad_parity_mlp():
+    """'save_attn_qkv_h' changes scheduling, not math, through Mlp AND
+    SwiGLUFFN (both carry 'mlp_h' tags)."""
+    from vjepa2_tpu.models.modules import Mlp, SwiGLUFFN
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    for mod in (Mlp(hidden_dim=64), SwiGLUFFN(hidden_dim=64)):
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, x):
+            return (mod.apply(p, x) ** 2).sum()
+
+        ref = jax.grad(loss, argnums=(0, 1))(params, x)
+        ck = jax.checkpoint(loss, policy=resolve_remat_policy("save_attn_qkv_h"))
+        got = jax.grad(ck, argnums=(0, 1))(params, x)
+        for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-6, rtol=1e-6)
 
 
 def test_model_level_policy_wiring():

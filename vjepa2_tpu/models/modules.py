@@ -28,6 +28,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vjepa2_tpu.ops.attention import sdpa
 from vjepa2_tpu.ops.rope import (
@@ -111,6 +112,12 @@ def resolve_remat_policy(name):
       [B, N, C]-sized bf16 + [B, H, N] fp32 save per layer.
     - 'save_attn_qkv': additionally saves the q/k/v projections
       ('flash_qkv' tags) so the attention branch recomputes nothing.
+    - 'save_attn_qkv_h': additionally saves the MLP fc1 pre-activation
+      ('mlp_h' tags, width mlp_ratio*C) so the only GEMMs left in the bwd
+      recompute are the attention out-projection — at the price of the
+      widest per-layer save. The saves materialize only in differentiated
+      blocks (JEPA target encoders are stop-grad), so the HBM cost is set
+      by the ctx/predictor lengths, not the full clip.
     """
     if name in (None, "full"):
         return None
@@ -119,9 +126,12 @@ def resolve_remat_policy(name):
         return cp.save_only_these_names("flash_out", "flash_lse")
     if name == "save_attn_qkv":
         return cp.save_only_these_names("flash_out", "flash_lse", "flash_qkv")
+    if name == "save_attn_qkv_h":
+        return cp.save_only_these_names(
+            "flash_out", "flash_lse", "flash_qkv", "mlp_h")
     raise ValueError(
         f"unknown remat_policy {name!r}: expected one of "
-        "None/'full', 'save_attn', 'save_attn_qkv'")
+        "None/'full', 'save_attn', 'save_attn_qkv', 'save_attn_qkv_h'")
 
 
 # Diagnostic knob (scripts/probe_step_buckets.py, scripts/probe_ln_encode.py):
@@ -229,6 +239,12 @@ class Mlp(nn.Module):
                 bias_init=nn.initializers.zeros,
                 name="fc1",
             )(x)
+            # Saveable residual for the 'save_attn_qkv_h' remat policy: the
+            # fc1 pre-activation is the one mlp tensor the bwd pass cannot do
+            # without (gelu' and fc2's input both derive from it), so keeping
+            # it drops the fc1 GEMM — the largest non-attention recompute —
+            # from the remat bwd. Transparent (a `name` primitive) otherwise.
+            x = checkpoint_name(x, "mlp_h")
             x = nn.gelu(x, approximate=False)
         x = nn.Dense(
             out_dim,
@@ -268,6 +284,11 @@ class SwiGLUFFN(nn.Module):
         )
         x1 = dense(hidden, "fc1", trunc_normal(self.init_std))(x)
         x2 = dense(hidden, "fc2", scaled_trunc_normal(self.init_std, self.out_init_scale))(x)
+        # Same 'mlp_h' saveable residuals as Mlp.fc1: silu' needs x1, the
+        # product needs both — saving the pair drops both input GEMMs from
+        # the remat bwd under 'save_attn_qkv_h'.
+        x1 = checkpoint_name(x1, "mlp_h")
+        x2 = checkpoint_name(x2, "mlp_h")
         h = nn.silu(x1) * x2
         return dense(out_dim, "fc3", trunc_normal(self.init_std))(h)
 
