@@ -410,7 +410,7 @@ def bench_headline(args):
         # headline pair above carries the statistical weight)
         ("ac", bench_ac, dict(model="vit_large", batch=8, frames=8,
                               size=256, steps=4, remat=True,
-                              remat_policy="save_attn")),
+                              remat_policy="save_attn_qkv_h")),
         ("cem", bench_cem, dict(model="vit_large", size=256, steps=5)),
         ("e2e_u8", bench_e2e, dict(model="vit_large", batch=8, frames=16,
                                    size=256, steps=12, u8=True, workers=0,
@@ -804,9 +804,11 @@ def main():
         # predictor layers of [B, 2k, 1024] activations -> 20 GB at bs8
         args.remat = True
         if args.remat_policy is None:
-            # r5s2: 695 -> 629.1 ms/step measured (agreement 0.998) — the
-            # bwd stops re-running the DN flash fwd kernels under remat
-            args.remat_policy = "save_attn"
+            # r5s3 policy ladder (cross-process, each >5%/compounding):
+            # save_attn 629.1 / save_attn_qkv 607.6 / save_attn_qkv_h
+            # 572.3 ms/step — the AC shape (8f bs8) fits the fc1-preact
+            # saves that OOM at the 64f cooldown shape
+            args.remat_policy = "save_attn_qkv_h"
 
     from vjepa2_tpu.models.vision_transformer import MODEL_REGISTRY
 

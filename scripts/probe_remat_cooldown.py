@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--accum", type=int, default=None,
+                    help="microbatch count (default 3 -> bs4; 6 -> bs2 "
+                         "halves the per-microbatch saves for the wider "
+                         "policies — 'save_attn_qkv_h' OOMs HBM at bs4)")
     args = ap.parse_args()
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -59,6 +63,9 @@ def main():
     else:
         B, T, S, name, accum = 12, 64, 256, "vit_large", 3
         pdim, pheads, pdepth = 384, 12, 12
+    if args.accum is not None and not args.tiny:
+        assert B % args.accum == 0, (B, args.accum)
+        accum = args.accum
     variants = [v.strip() for v in args.variants.split(",") if v.strip()]
     b = B // accum
 
