@@ -417,8 +417,8 @@ def bench_headline(args):
                                    remat=False)),
         ("cooldown", bench_pretrain, dict(model="vit_large", batch=12,
                                           frames=64, size=256, steps=3,
-                                          accum=3, remat=True,
-                                          remat_policy="save_attn_qkv")),
+                                          accum=6, remat=True,
+                                          remat_policy="save_attn_qkv_h")),
     ]
     for key, fn, overrides in surface:
         sub = argparse.Namespace(**vars(args))
@@ -773,24 +773,25 @@ def main():
     if args.mode == "cooldown":
         # reference cooldown: 64f@256, per-GPU bs12 across 32x8 GPUs
         # (`configs/train/vitl16/cooldown-256px-64f.yaml:5-17`). One chip
-        # runs it with remat + grad accumulation: bs4 microbatches x3 =
+        # runs it with remat + grad accumulation: bs2 microbatches x6 =
         # the reference per-GPU effective batch.
         args.mode = "pretrain"
         if args.frames is None:
             args.frames = 64
         args.remat = True
         if args.remat_policy is None:
-            # r5s2 one-process A/B (scripts/probe_remat_cooldown.py): full
-            # 6120.9 / save_attn 5029.9 / save_attn_qkv 4983.1 ms/step —
-            # saving the flash (out, lse) + q/k/v kills the fwd-kernel
-            # recompute (-18.6%) and fits HBM at bs4 microbatches
-            args.remat_policy = "save_attn_qkv"
+            # policy ladder (scripts/probe_remat_cooldown.py, one-process
+            # interleaved): full 6120.9 / save_attn 5029.9 / save_attn_qkv
+            # 4983.1 (accum3) / save_attn_qkv_h 4869.5 ms/step at accum6 —
+            # the fc1-preact saves OOM at bs4 microbatches but fit at bs2,
+            # and accum6 is faster even under plain save_attn_qkv
+            args.remat_policy = "save_attn_qkv_h"
         # only fill knobs the user left unset (--batch default is None so an
         # explicit --batch 8 is distinguishable from the global default)
         if args.batch is None:
             args.batch = 12
             if args.accum == 1:
-                args.accum = 3
+                args.accum = 6
         if args.steps is None:
             args.steps = 4
     if args.batch is None:

@@ -46,7 +46,7 @@ def fwd_case(name, B, H, D, N, bq, bk, kv=None):
     def fn(q, k, v):
         return flash_attention_bhdn(q, k, v, block_q=bq, block_k=bk,
                                     kv_valid_len=kv)
-    return (name, fn, (qkv(B, H, D, N),))
+    return (name, fn, qkv(B, H, D, N))
 
 
 def grad_case(name, B, H, D, N, bq, bk, kv=None):
@@ -57,7 +57,7 @@ def grad_case(name, B, H, D, N, bq, bk, kv=None):
 
     def fn(q, k, v):
         return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)[0]
-    return (name, fn, (qkv(B, H, D, N),))
+    return (name, fn, qkv(B, H, D, N))
 
 
 def main():
